@@ -1,0 +1,82 @@
+"""Headline benchmark: rays/s/chip, 1280x720 path trace on the bunny+teapot
+TLAS scene (BASELINE.json north star; target >= 100M rays/s/chip forward).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Rays counted = every path segment actually traced (primary + bounces +
+shadow-free PT has no shadow rays), matching "rays cast per second" rather
+than the reference's pixels/ms (which counts primary rays only —
+1. Basics/renderer.cpp:54-55).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_RAYS_PER_S = 100e6  # BASELINE.json north-star target
+WIDTH, HEIGHT = 1280, 720
+SPP = 64
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cpu_ray_tracer_tpu.core import camera as cam_mod
+    from cpu_ray_tracer_tpu.render import pathtracer
+    from cpu_ray_tracer_tpu.scene.build import compile_scene
+
+    spp = int(os.environ.get("BENCH_SPP", SPP))
+    width = int(os.environ.get("BENCH_WIDTH", WIDTH))
+    height = int(os.environ.get("BENCH_HEIGHT", HEIGHT))
+
+    scene, info = compile_scene(
+        os.path.join(REPO, "assets", "scenes", "bunny_teapot.xml"), layout="tlas"
+    )
+    camera = cam_mod.make_camera(width, height, pos=(0.0, 0.3, -1.2), target=(0.0, -0.1, 2.5))
+
+    @jax.jit
+    def render_batch(spp_start):
+        def body(i, acc):
+            img, stats = pathtracer.render_pass(scene, camera, spp_start + i)
+            return (acc[0] + img, acc[1] + stats["rays_traced"].astype(jnp.float32))
+
+        film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
+        return jax.lax.fori_loop(0, spp, body, (film, jnp.float32(0.0)))
+
+    # warmup / compile
+    film, nrays = render_batch(jnp.uint32(0))
+    film.block_until_ready()
+
+    t0 = time.perf_counter()
+    film, nrays = render_batch(jnp.uint32(spp))
+    film.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    total_rays = float(nrays)
+    rays_per_s = total_rays / dt
+    result = {
+        "metric": "path_trace_rays_per_s_per_chip",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+        "detail": {
+            "resolution": [width, height],
+            "spp": spp,
+            "seconds": dt,
+            "total_rays": total_rays,
+            "triangles": info.triangle_count,
+            "energy": float(film.sum() / spp),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,7 @@ class BVHArrays:
     tri_indices: jnp.ndarray  # [N] int32 permutation into the triangle pool
     max_leaf: int = struct.field(pytree_node=False, default=2)
     max_depth: int = struct.field(pytree_node=False, default=0)
+    root: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_nodes(self) -> int:

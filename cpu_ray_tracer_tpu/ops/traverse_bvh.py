@@ -70,7 +70,7 @@ def traverse(
         max_steps = int(2 * m + 4)
 
     state = dict(
-        cur=jnp.zeros((r,), jnp.int32),
+        cur=jnp.full((r,), bvh.root, jnp.int32),
         t=t0.astype(jnp.float32),
         u=jnp.zeros((r,), jnp.float32),
         v=jnp.zeros((r,), jnp.float32),

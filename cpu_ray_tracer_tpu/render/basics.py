@@ -1,0 +1,46 @@
+"""Primary-ray AOV renderer — the capability of the reference's
+"1. Basics" project (1. Basics/renderer.cpp:15-26) plus the debug AOVs that
+are commented-out one-liners in the other integrators
+(2. WhittedStyle/renderer.cpp:34-39): albedo, normal, depth, edges, object
+id, and the traversal/test heatmaps."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cpu_ray_tracer_tpu.core import camera as cam_mod
+from cpu_ray_tracer_tpu.render import debug
+from cpu_ray_tracer_tpu.scene import query
+from cpu_ray_tracer_tpu.scene.types import DeviceScene
+
+AOV_KINDS = ("albedo", "normal", "depth", "edges", "traversal", "tests", "obj_id")
+
+
+def render(scene: DeviceScene, camera: cam_mod.Camera, aov: str = "albedo"):
+    rays = cam_mod.full_frame_rays(camera)
+    res = query.find_nearest(scene, rays.o, rays.d)
+    point = rays.o + res["t"][..., None] * rays.d
+    normal, uv, mat_id = query.get_hit_info(scene, res, point, rays.d)
+    hit = (res["obj_idx"] >= 0)[..., None]
+
+    if aov == "albedo":
+        img = jnp.where(hit, query.get_albedo(scene, mat_id, uv), 0.0)
+    elif aov == "normal":
+        img = jnp.where(hit, (normal + 1.0) * 0.5, 0.0)
+    elif aov == "depth":
+        img = jnp.where(hit, 0.1 * res["t"][..., None].repeat(3, -1), 0.0)
+    elif aov == "edges":
+        img = debug.edge_color(res["bary"])
+    elif aov == "traversal":
+        img = debug.traverse_count_color(res["traversed"], jnp.max(res["traversed"]))
+    elif aov == "tests":
+        img = debug.traverse_count_color(res["tested"], jnp.max(res["tested"]))
+    elif aov == "obj_id":
+        img = debug.id_color(res["obj_idx"])
+    else:
+        raise ValueError(f"unknown AOV {aov!r}; expected one of {AOV_KINDS}")
+    return img.reshape(camera.height, camera.width, 3)
+
+
+render_jit = jax.jit(render, static_argnames=("aov",))

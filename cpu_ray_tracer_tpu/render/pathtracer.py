@@ -1,0 +1,173 @@
+"""Monte-Carlo path tracer as a bounded megabatch loop.
+
+The reference's recursive `Sample` (3. PathTracer/renderer.cpp:50-101) is
+tail recursion with a single stochastic child per bounce — exactly a loop.
+Here the whole frame (or shard) of rays advances in lockstep through
+`depth_limit + 1` bounce iterations carrying SoA state
+{origin, dir, throughput, inside, seed, alive}; terminated lanes are masked.
+
+Estimator parity (renderer.cpp:84-99):
+* one uniform draw r selects the lobe: r < refl -> mirror;
+  r < refl + refr -> dielectric (stochastic Fresnel choice); else diffuse;
+* diffuse bounce: uniform-hemisphere direction, estimator
+  brdf * 2pi * cos(R, N);
+* miss -> skydome BEFORE the depth check; light hit -> light color;
+* Beer absorption while inside; fresh rays reset `inside` except the
+  refracted child (template/ray.h default — reference behavior kept).
+
+RNG: stateless per-ray xorshift32 streams (core/rng.py) seeded by
+(pixel, sample) — the vectorizable replacement for the reference's per-tile
+sequential stream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cpu_ray_tracer_tpu import constants
+from cpu_ray_tracer_tpu.core import camera as cam_mod
+from cpu_ray_tracer_tpu.core import rng as rng_mod
+from cpu_ray_tracer_tpu.render import common
+from cpu_ray_tracer_tpu.scene import query
+from cpu_ray_tracer_tpu.scene.types import DeviceScene
+
+EPS = constants.SHADE_EPS
+
+
+def sample_radiance(
+    scene: DeviceScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    seeds: jnp.ndarray,
+    depth_limit: int = constants.DEPTH_LIMIT,
+    differentiable: bool = False,
+):
+    """Estimate radiance along rays (o, d) [R, 3] with per-ray uint32 seeds.
+
+    Returns (radiance [R, 3], stats dict with per-segment traversal counters
+    summed over bounces).
+    """
+    r = o.shape[0]
+    state = dict(
+        o=o,
+        d=d,
+        seed=seeds,
+        throughput=jnp.ones((r, 3), jnp.float32),
+        radiance=jnp.zeros((r, 3), jnp.float32),
+        inside=jnp.zeros((r,), jnp.bool_),
+        alive=jnp.ones((r,), jnp.bool_),
+        rays_traced=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+        traversed=jnp.zeros((r,), jnp.int32),
+        tested=jnp.zeros((r,), jnp.int32),
+    )
+
+    nearest = query.find_nearest_diff if differentiable else query.find_nearest
+
+    def bounce(depth, s):
+        alive = s["alive"]
+        res = nearest(scene, s["o"], s["d"])
+        t = res["t"]
+        obj = res["obj_idx"]
+        hit = (obj >= 0) & alive
+        miss = (~(obj >= 0)) & alive
+
+        radiance = s["radiance"] + jnp.where(
+            miss[..., None], s["throughput"] * query.sky_color(scene, s["d"]), 0.0
+        )
+        # depth cutoff AFTER the miss/sky add (renderer.cpp:52-55)
+        past_limit = depth >= depth_limit
+        hit = hit & (~past_limit)
+
+        point = s["o"] + t[..., None] * s["d"]
+        normal, uv, mat_id = query.get_hit_info(scene, res, point, s["d"])
+        albedo = query.get_albedo(scene, mat_id, uv)
+        is_light = scene.materials.is_light[mat_id] & hit
+        radiance = radiance + jnp.where(
+            is_light[..., None], s["throughput"] * scene.light_color, 0.0
+        )
+        surf = hit & (~is_light)
+
+        refl = scene.materials.reflectivity[mat_id]
+        refr = scene.materials.refractivity[mat_id]
+        medium = common.beer(scene, mat_id, t, s["inside"])
+
+        seed = s["seed"]
+        seed, r_lobe = rng_mod.random_float(seed)
+        pick_mirror = surf & (r_lobe < refl)
+        pick_diel = surf & (~pick_mirror) & (r_lobe < refl + refr)
+        pick_diff = surf & (~pick_mirror) & (~pick_diel)
+
+        # dielectric: stochastic Fresnel branch (renderer.cpp:27-45)
+        fr, can_refract, t_dir, r_dir = common.dielectric_terms(s["d"], normal, s["inside"])
+        seed, r_fresnel = rng_mod.random_float(seed)
+        take_refract = pick_diel & can_refract & (r_fresnel > fr)
+
+        # diffuse: uniform hemisphere + estimator brdf * 2pi * cos
+        seed, r1 = rng_mod.random_float(seed)
+        seed, r2 = rng_mod.random_float(seed)
+        diff_dir = common.uniform_hemisphere(normal, r1, r2)
+        cosr = jnp.maximum(common.vm.dot(diff_dir, normal), 0.0)
+        diff_w = albedo * constants.INVPI * (2.0 * constants.PI) * cosr[..., None]
+
+        new_d = jnp.where(
+            pick_diff[..., None],
+            diff_dir,
+            jnp.where(take_refract[..., None], t_dir, r_dir),
+        )
+        lobe_w = jnp.where(
+            pick_diff[..., None],
+            diff_w,
+            albedo,  # mirror / dielectric multiply albedo only
+        )
+        throughput = jnp.where(
+            surf[..., None], s["throughput"] * medium * lobe_w, s["throughput"]
+        )
+        new_o = point + new_d * EPS
+        inside = jnp.where(take_refract, ~s["inside"], jnp.zeros_like(s["inside"]))
+
+        return dict(
+            o=jnp.where(surf[..., None], new_o, s["o"]),
+            d=jnp.where(surf[..., None], new_d, s["d"]),
+            seed=seed,
+            throughput=throughput,
+            radiance=radiance,
+            inside=inside,
+            alive=surf,
+            rays_traced=s["rays_traced"] + alive.astype(jnp.int32).sum(),
+            traversed=s["traversed"] + res["traversed"],
+            tested=s["tested"] + res["tested"],
+        )
+
+    state = jax.lax.fori_loop(0, depth_limit + 1, bounce, state)
+    return state["radiance"], dict(
+        rays_traced=state["rays_traced"],
+        traversed=state["traversed"],
+        tested=state["tested"],
+    )
+
+
+def render_pass(
+    scene: DeviceScene,
+    camera: cam_mod.Camera,
+    spp_index: jnp.ndarray,
+    depth_limit: int = constants.DEPTH_LIMIT,
+    differentiable: bool = False,
+):
+    """One progressive pass: one jittered sample per pixel
+    (3. PathTracer/renderer.cpp:117-131).  Returns (radiance [H, W, 3],
+    stats).  `spp_index` salts the per-pixel RNG stream like the reference's
+    `spp * 1799` tile seed."""
+    n = camera.width * camera.height
+    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+    seeds = rng_mod.pixel_seeds(pixel_ids, spp_index)
+    seeds, jx = rng_mod.random_float(seeds)
+    seeds, jy = rng_mod.random_float(seeds)
+    rays = cam_mod.full_frame_rays(camera, jitter_x=jx, jitter_y=jy)
+    radiance, stats = sample_radiance(
+        scene, rays.o, rays.d, seeds, depth_limit, differentiable=differentiable
+    )
+    return radiance.reshape(camera.height, camera.width, 3), stats
+
+
+render_pass_jit = jax.jit(render_pass, static_argnames=("depth_limit", "differentiable"))

@@ -1,0 +1,195 @@
+"""Pure scene query functions over ray batches — the SoA replacements for
+the reference's BaseScene virtuals (infra/scene/base_scene.h:16-32):
+FindNearest, IsOccluded, GetHitInfo, GetSkyColor, GetLightPos, GetAlbedo.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpu_ray_tracer_tpu import constants
+from cpu_ray_tracer_tpu.core import materials as mat_mod
+from cpu_ray_tracer_tpu.core import textures as tex_mod
+from cpu_ray_tracer_tpu.core import vecmath as vm
+from cpu_ray_tracer_tpu.ops import intersect, traverse_bvh
+from cpu_ray_tracer_tpu.scene.types import DeviceScene
+
+FLOOR_NORMAL = np.array([0.0, 1.0, 0.0], np.float32)
+FLOOR_D = np.float32(1.0)
+
+
+def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None):
+    """Nearest hit over light quad -> floor plane -> triangle accel, the same
+    composition as FileScene::FindNearest (file_scene.cpp:170-175).
+
+    Returns dict(t, obj_idx, tri_idx, bary, traversed, tested).
+    """
+    r = o.shape[0]
+    if t0 is None:
+        t = jnp.full((r,), constants.RAY_FAR, jnp.float32)
+    else:
+        t = jnp.broadcast_to(jnp.asarray(t0, jnp.float32), (r,))
+    obj = jnp.full((r,), -1, jnp.int32)
+
+    if scene.has_light:
+        lt, lhit = intersect.quad(o, d, scene.light_inv_t, scene.light_size, t)
+        t = jnp.where(lhit, lt, t)
+        obj = jnp.where(lhit, 0, obj)
+    if scene.has_floor:
+        ft, fhit = intersect.plane(o, d, FLOOR_NORMAL, FLOOR_D, t)
+        t = jnp.where(fhit, ft, t)
+        obj = jnp.where(fhit, 1, obj)
+
+    res = traverse_bvh.traverse(scene.bvh, scene.tris, o, d, t)
+    tri_hit = res["tri_idx"] >= 0
+    return dict(
+        t=res["t"],
+        obj_idx=jnp.where(tri_hit, res["obj_id"], obj),
+        tri_idx=res["tri_idx"],
+        bary=res["bary"],
+        mat_id_tri=res["mat_id"],
+        traversed=res["traversed"],
+        tested=res["tested"],
+    )
+
+
+def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None):
+    """Differentiable nearest-hit: traversal runs detached (discrete hit
+    SELECTION carries no gradient — `lax.while_loop` is not reverse-mode
+    differentiable and visibility is discontinuous anyway), then t and the
+    barycentrics are RECOMPUTED differentiably from the selected primitive,
+    so gradients flow to ray origins/directions, triangle vertices and the
+    light transform.  This is the classic detached-sampling formulation of
+    differentiable rendering (non-silhouette gradients)."""
+    hit = find_nearest(
+        scene, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), t0
+    )
+    hit = {k: jax.lax.stop_gradient(v) for k, v in hit.items()}
+    tri = hit["tri_idx"]
+    obj = hit["obj_idx"]
+    tid = jnp.maximum(tri, 0)
+
+    # triangle: differentiable Möller–Trumbore solve against the hit tri
+    v0 = scene.tris.v0[tid]
+    e1 = scene.tris.e1[tid]
+    e2 = scene.tris.e2[tid]
+    h = jnp.cross(d, e2)
+    a = vm.dot(e1, h)
+    f = 1.0 / jnp.where(jnp.abs(a) < np.float32(1e-20), np.float32(1e-20), a)
+    s = o - v0
+    u = f * vm.dot(s, h)
+    q = jnp.cross(s, e1)
+    v = f * vm.dot(d, q)
+    t_tri = f * vm.dot(e2, q)
+
+    # floor plane: t = -(o.y + 1) / d.y
+    dy = jnp.where(jnp.abs(d[..., 1]) < np.float32(1e-20), np.float32(1e-20), d[..., 1])
+    t_floor = -(o[..., 1] + FLOOR_D) / dy
+
+    # light quad: local-y plane through the light transform
+    it = scene.light_inv_t
+    oy = o[..., 0] * it[1, 0] + o[..., 1] * it[1, 1] + o[..., 2] * it[1, 2] + it[1, 3]
+    dyq = d[..., 0] * it[1, 0] + d[..., 1] * it[1, 1] + d[..., 2] * it[1, 2]
+    dyq = jnp.where(jnp.abs(dyq) < np.float32(1e-20), np.float32(1e-20), dyq)
+    t_quad = oy / -dyq
+
+    is_tri = tri >= 0
+    t = jnp.where(
+        is_tri,
+        t_tri,
+        jnp.where(obj == 1, t_floor, jnp.where(obj == 0, t_quad, hit["t"])),
+    )
+    bary = jnp.where(
+        is_tri[..., None], jnp.stack([u, v], axis=-1), hit["bary"]
+    )
+    out = dict(hit)
+    out["t"] = t
+    out["bary"] = bary
+    return out
+
+
+def is_occluded(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, dist: jnp.ndarray):
+    """Shadow query with the reference's exact semantics
+    (file_scene.cpp:177-187): the light quad is tested against
+    t = dist (the caller passes dist - 2*EPSILON), then the triangle accel is
+    tested with t RESET TO 1e34 (quirk: triangles occlude regardless of
+    distance).  Planes are skipped.
+
+    Inputs are detached: visibility is boolean (no useful tangent) and the
+    traversal while_loop cannot be reverse-differentiated."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    dist = jax.lax.stop_gradient(dist)
+    r = o.shape[0]
+    occ = jnp.zeros((r,), jnp.bool_)
+    if scene.has_light:
+        _, lhit = intersect.quad(o, d, scene.light_inv_t, scene.light_size, dist)
+        occ = occ | lhit
+    tri_t = (
+        jnp.full((r,), constants.RAY_FAR, jnp.float32)
+        if scene.shadow_quirk
+        else dist
+    )
+    res = traverse_bvh.traverse(scene.bvh, scene.tris, o, d, tri_t, any_hit=True)
+    return occ | (res["tri_idx"] >= 0)
+
+
+def get_hit_info(scene: DeviceScene, hit: dict, point: jnp.ndarray, d: jnp.ndarray):
+    """Normal / uv / material id per ray (tlas_file_scene.cpp:220-260),
+    including the back-face flip `if dot(N, D) > 0: N = -N`."""
+    obj = hit["obj_idx"]
+    tri_hit = hit["tri_idx"] >= 0
+
+    n_tri, uv_tri = traverse_bvh.interpolate_hit(scene.tris, hit["tri_idx"], hit["bary"])
+    # light quad normal: TransformVector((0,-1,0), T) (primitives.h:365-369)
+    light_n = -scene.light_t[:3, 1]
+    floor_uv = intersect.plane_uv(point, scene.floor_inv_to)
+
+    is_light = obj == 0
+    is_floor = obj == 1
+    normal = jnp.where(
+        tri_hit[..., None],
+        n_tri,
+        jnp.where(
+            is_light[..., None],
+            jnp.broadcast_to(light_n, n_tri.shape),
+            jnp.broadcast_to(FLOOR_NORMAL, n_tri.shape),
+        ),
+    )
+    uv = jnp.where(tri_hit[..., None], uv_tri, jnp.where(is_floor[..., None], floor_uv, 0.0))
+    mat_id = jnp.where(tri_hit, hit["mat_id_tri"], jnp.where(is_light, 0, 1))
+    # error material (pink) for misses queried anyway
+    mat_id = jnp.where(obj < 0, scene.materials.count - 1, mat_id)
+    # back-face flip
+    flip = vm.dot(normal, d) > 0
+    normal = jnp.where(flip[..., None], -normal, normal)
+    return normal, uv, mat_id
+
+
+def get_albedo(scene: DeviceScene, mat_id: jnp.ndarray, uv: jnp.ndarray):
+    return mat_mod.get_albedo(
+        scene.materials,
+        scene.atlas,
+        mat_id,
+        uv[..., 0],
+        uv[..., 1],
+        bilinear=scene.bilinear,
+    )
+
+
+def sky_color(scene: DeviceScene, d: jnp.ndarray):
+    """Equirect skydome sample, or black when the scene has none
+    (primitive_scene.cpp:82-85)."""
+    if scene.skydome_tex < 0:
+        return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+    return tex_mod.sample_equirect(scene.atlas, scene.skydome_tex, d, scene.bilinear)
+
+
+def get_light_pos(scene: DeviceScene) -> jnp.ndarray:
+    """Middle of the light quad minus a small y offset
+    (tlas_file_scene.cpp:191-196)."""
+    c1 = vm.transform_position(jnp.array([-0.5, 0.0, -0.5], jnp.float32), scene.light_t)
+    c2 = vm.transform_position(jnp.array([0.5, 0.0, 0.5], jnp.float32), scene.light_t)
+    return (c1 + c2) * 0.5 - jnp.array([0.0, 0.01, 0.0], jnp.float32)

@@ -1,0 +1,65 @@
+"""Device scene: everything a render kernel needs, as one pytree.
+
+The reference's `BaseScene` virtual interface (infra/scene/base_scene.h:16-32)
+becomes a dataclass + pure functions in scene/query.py.  Every scene variant
+(FileScene-monolithic, TLASFileScene-instanced, PrimitiveScene) compiles to
+this same structure, so integrators are scene-agnostic — the duck-typing
+parity of the reference's interchangeable accelerators, done with data
+instead of virtual dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import struct
+
+from cpu_ray_tracer_tpu.accel.types import BVHArrays, BuildStats, TrianglePool
+from cpu_ray_tracer_tpu.core.materials import MaterialTable
+from cpu_ray_tracer_tpu.core.textures import TextureAtlas
+
+
+@struct.dataclass
+class DeviceScene:
+    tris: TrianglePool
+    bvh: BVHArrays
+    materials: MaterialTable
+    atlas: TextureAtlas
+    # quad light (objIdx 0): Quad(0, 1) at light_t (tlas_file_scene.cpp:15-19)
+    light_t: jnp.ndarray  # [4, 4]
+    light_inv_t: jnp.ndarray  # [4, 4]
+    light_size: jnp.ndarray  # [] half-extent (0.5 for Quad(0, 1))
+    light_color: jnp.ndarray  # [3] (24, 24, 22)
+    # floor plane (objIdx 1): Plane(1, +Y, d=1) (tlas_file_scene.cpp:16)
+    floor_inv_to: jnp.ndarray  # [] 1 / textureOffset = 100 / texture_width
+    # static config
+    skydome_tex: int = struct.field(pytree_node=False, default=-1)
+    has_floor: bool = struct.field(pytree_node=False, default=True)
+    has_light: bool = struct.field(pytree_node=False, default=True)
+    bilinear: bool = struct.field(pytree_node=False, default=False)
+    # IsOccluded quirk (file_scene.cpp:177-187): shadow rays ignore their max
+    # distance for triangle geometry.  Kept on for image parity.
+    shadow_quirk: bool = struct.field(pytree_node=False, default=True)
+
+
+@dataclasses.dataclass
+class SceneInfo:
+    """Host-side scene metadata (counts, build stats) — the data behind the
+    reference's ImGui panel (GetTriangleCount / GetBuildTime /
+    GetMaxTreeDepth)."""
+
+    name: str
+    triangle_count: int
+    object_count: int
+    build_stats: BuildStats
+    blas_stats: list = dataclasses.field(default_factory=list)
+
+    @property
+    def build_time_us(self) -> int:
+        return self.build_stats.build_time_us + sum(s.build_time_us for s in self.blas_stats)
+
+    @property
+    def max_tree_depth(self) -> int:
+        depths = [self.build_stats.max_depth] + [s.max_depth for s in self.blas_stats]
+        return max(depths)
