@@ -73,11 +73,19 @@ def compile_scene(
     xml_path: str | None = None,
     spec: SceneSpec | None = None,
     layout: str = "tlas",
+    accel: str = "bvh",
     parity: bool = False,
     bilinear: bool = False,
     force_split_cap: int | None = 4,
     shadow_quirk: bool = True,
 ) -> tuple[DeviceScene, SceneInfo]:
+    """`layout` picks FileScene ("mono") vs TLASFileScene ("tlas") semantics;
+    `accel` picks the structure (USE_BVH / USE_Grid / USE_KDTree).  Grid and
+    KD-tree are currently monolithic-only (the reference's TLASGrid /
+    TLASKDTree are byte-identical clones of TLASBVH over different BLAS
+    types; here the TLAS path always uses the fused threaded BVH forest)."""
+    if layout == "tlas" and accel != "bvh":
+        raise NotImplementedError("grid/kdtree accel requires layout='mono'")
     if spec is None:
         spec = load_scene_xml(xml_path)
     xml_dir = spec.xml_dir
@@ -162,6 +170,8 @@ def compile_scene(
     )
 
     # ---- acceleration structure ----------------------------------------
+    grid_arr = None
+    kd_arr = None
     if layout == "mono":
         host, idx, stats = bvh_builder.build_bvh(all_v, force_split_cap=force_split_cap)
         hit, miss = bvh_builder.thread_links(host.left, host.right, host.tri_count, host.axis)
@@ -182,6 +192,18 @@ def compile_scene(
             object_count=len(spec.objects),
             build_stats=stats,
         )
+        if accel == "grid":
+            from cpu_ray_tracer_tpu.accel import grid_builder
+
+            ghost, gstats = grid_builder.build_grid(all_v)
+            grid_arr = grid_builder.to_device(ghost)
+            info.build_stats = gstats
+        elif accel == "kdtree":
+            from cpu_ray_tracer_tpu.accel import kdtree_builder
+
+            khost, kstats = kdtree_builder.build_kdtree(all_v)
+            kd_arr = kdtree_builder.to_device(khost)
+            info.build_stats = kstats
     else:
         bvh, stats, blas_stats = _build_unified_tlas(inst_v, force_split_cap)
         info = SceneInfo(
@@ -206,9 +228,12 @@ def compile_scene(
         light_size=jnp.float32(0.5),
         light_color=to_device_f32(np.array([24.0, 24.0, 22.0], np.float32)),
         floor_inv_to=jnp.float32(100.0 / floor_tex_width),
+        accel_kind=accel,
         skydome_tex=skydome_tex,
         bilinear=bilinear,
         shadow_quirk=shadow_quirk,
+        grid=grid_arr,
+        kd=kd_arr,
     )
     return scene, info
 

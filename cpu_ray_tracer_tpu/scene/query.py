@@ -13,11 +13,22 @@ from cpu_ray_tracer_tpu import constants
 from cpu_ray_tracer_tpu.core import materials as mat_mod
 from cpu_ray_tracer_tpu.core import textures as tex_mod
 from cpu_ray_tracer_tpu.core import vecmath as vm
-from cpu_ray_tracer_tpu.ops import intersect, traverse_bvh
+from cpu_ray_tracer_tpu.ops import intersect, traverse_bvh, traverse_grid, traverse_kd
 from cpu_ray_tracer_tpu.scene.types import DeviceScene
 
 FLOOR_NORMAL = np.array([0.0, 1.0, 0.0], np.float32)
 FLOOR_D = np.float32(1.0)
+
+
+def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False):
+    """Dispatch on the scene's accelerator kind — the data-driven analog of
+    the reference's USE_BVH/USE_Grid/USE_KDTree defines (file_scene.h:10-12);
+    every accelerator answers the same query contract."""
+    if scene.accel_kind == "grid":
+        return traverse_grid.traverse(scene.grid, scene.tris, o, d, t, any_hit=any_hit)
+    if scene.accel_kind == "kdtree":
+        return traverse_kd.traverse(scene.kd, scene.tris, o, d, t, any_hit=any_hit)
+    return traverse_bvh.traverse(scene.bvh, scene.tris, o, d, t, any_hit=any_hit)
 
 
 def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None):
@@ -42,7 +53,7 @@ def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None):
         t = jnp.where(fhit, ft, t)
         obj = jnp.where(fhit, 1, obj)
 
-    res = traverse_bvh.traverse(scene.bvh, scene.tris, o, d, t)
+    res = _traverse_accel(scene, o, d, t)
     tri_hit = res["tri_idx"] >= 0
     return dict(
         t=res["t"],
@@ -132,7 +143,7 @@ def is_occluded(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, dist: jnp.nd
         if scene.shadow_quirk
         else dist
     )
-    res = traverse_bvh.traverse(scene.bvh, scene.tris, o, d, tri_t, any_hit=True)
+    res = _traverse_accel(scene, o, d, tri_t, any_hit=True)
     return occ | (res["tri_idx"] >= 0)
 
 

@@ -34,6 +34,7 @@ class DeviceScene:
     # floor plane (objIdx 1): Plane(1, +Y, d=1) (tlas_file_scene.cpp:16)
     floor_inv_to: jnp.ndarray  # [] 1 / textureOffset = 100 / texture_width
     # static config
+    accel_kind: str = struct.field(pytree_node=False, default="bvh")
     skydome_tex: int = struct.field(pytree_node=False, default=-1)
     has_floor: bool = struct.field(pytree_node=False, default=True)
     has_light: bool = struct.field(pytree_node=False, default=True)
@@ -41,6 +42,11 @@ class DeviceScene:
     # IsOccluded quirk (file_scene.cpp:177-187): shadow rays ignore their max
     # distance for triangle geometry.  Kept on for image parity.
     shadow_quirk: bool = struct.field(pytree_node=False, default=True)
+    # alternate accelerators (USE_Grid / USE_KDTree) — populated when
+    # accel_kind selects them; the BVH arrays are always present (tiny) so
+    # pytree structure stays stable
+    grid: object = None  # GridArrays
+    kd: object = None  # KDTreeArrays
 
 
 @dataclasses.dataclass

@@ -131,3 +131,18 @@ class TestPathTracer:
         assert np.isfinite(img).all()
         assert img.max() > 0.01
         assert int(np.asarray(stats["rays_traced"])) >= 16 * 10
+
+
+class TestAccelInterchange:
+    """The reference's headline property: accelerators are interchangeable
+    and produce the same image (SURVEY.md §4 item 3)."""
+
+    def test_grid_and_kdtree_match_bvh_whitted(self, small_cam):
+        import numpy as np
+
+        imgs = {}
+        for accel in ("bvh", "grid", "kdtree"):
+            scene, _ = compile_scene(CUBE_XML, layout="mono", accel=accel)
+            imgs[accel] = np.asarray(whitted.render(scene, small_cam)["image"])
+        np.testing.assert_allclose(imgs["grid"], imgs["bvh"], atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(imgs["kdtree"], imgs["bvh"], atol=2e-3, rtol=1e-3)
