@@ -1,0 +1,153 @@
+"""Differentiable-pass tests: jax.grad vs central finite differences for
+material albedo, texture texels, light color and vertex positions
+(BASELINE.json gradient-correctness metric)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_ray_tracer_tpu.core import camera as cam_mod
+from cpu_ray_tracer_tpu.diff import grad as grad_mod
+from cpu_ray_tracer_tpu.render import pathtracer, whitted
+from cpu_ray_tracer_tpu.scene.build import compile_scene
+
+from tests.conftest import OUR_ASSETS
+
+CUBE_XML = os.path.join(OUR_ASSETS, "scenes", "cube_scene.xml")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # bilinear texture taps for smooth texel gradients
+    scene, _ = compile_scene(CUBE_XML, layout="tlas", bilinear=True)
+    cam = cam_mod.make_camera(16, 10)
+    return scene, cam
+
+
+def whitted_image(scene, cam):
+    return whitted.render(scene, cam, depth_limit=2, differentiable=True)["image"]
+
+
+class TestGradVsFiniteDifference:
+    def _check(self, setup, key, indices, eps, atol, rtol, keys=None):
+        scene, cam = setup
+        keys = keys or (key,)
+        params = grad_mod.extract_params(scene, keys=keys)
+        target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+        loss_fn = grad_mod.make_loss_fn(scene, lambda s: whitted_image(s, cam), target)
+        g = jax.grad(loss_fn)(params)[key].reshape(-1)
+        for idx in indices:
+            fd = grad_mod.finite_difference(loss_fn, params, key, idx, eps=eps)
+            got = float(g[idx])
+            want = float(fd)
+            assert abs(got - want) <= atol + rtol * abs(want), (
+                f"{key}[{idx}]: grad {got} vs fd {want}"
+            )
+        return np.asarray(g)
+
+    def test_albedo_gradients(self, setup):
+        # material slot 2 = the cube's XML material (constant albedo)
+        g = self._check(setup, "albedo", [2 * 3 + 0, 2 * 3 + 1, 2 * 3 + 2], 1e-3, 5e-5, 5e-2)
+        assert np.abs(g).max() > 0  # something flows
+
+    def test_light_color_gradients(self, setup):
+        self._check(setup, "light_color", [0, 1, 2], 1e-2, 1e-5, 5e-2)
+
+    def test_texel_gradients_flow(self, setup):
+        scene, cam = setup
+        params = grad_mod.extract_params(scene, keys=("texels",))
+        target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+        loss_fn = grad_mod.make_loss_fn(scene, lambda s: whitted_image(s, cam), target)
+        g = jax.grad(loss_fn)(params)["texels"]
+        nz = int(jnp.sum(jnp.any(jnp.abs(g) > 0, axis=-1)))
+        assert nz > 10  # many floor/sky texels receive gradient
+        # spot-check one texel with nonzero gradient against FD
+        flat = np.asarray(g).reshape(-1)
+        idx = int(np.argmax(np.abs(flat)))
+        fd = grad_mod.finite_difference(loss_fn, params, "texels", idx, eps=1e-2)
+        got, want = float(flat[idx]), float(fd)
+        assert abs(got - want) <= 1e-5 + 0.05 * abs(want)
+
+    def test_vertex_gradients_flow(self, setup):
+        # vertex positions: grads via the recomputed t/bary (non-silhouette)
+        scene, cam = setup
+        params = grad_mod.extract_params(scene, keys=("v0", "e1", "e2"))
+        target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+        loss_fn = grad_mod.make_loss_fn(scene, lambda s: whitted_image(s, cam), target)
+        g = jax.grad(loss_fn)(params)
+        total = sum(float(jnp.abs(v).sum()) for v in g.values())
+        assert np.isfinite(total)
+        assert total > 0
+
+    def test_pt_gradients_finite(self, setup):
+        scene, cam = setup
+        params = grad_mod.extract_params(scene, keys=("albedo", "texels", "light_color"))
+        target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+
+        def render_fn(s):
+            img, _ = pathtracer.render_pass(
+                s, cam, jnp.uint32(0), depth_limit=2, differentiable=True
+            )
+            return img
+
+        loss_fn = grad_mod.make_loss_fn(scene, render_fn, target)
+        g = jax.grad(loss_fn)(params)
+        for k, v in g.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+        assert float(jnp.abs(g["albedo"]).sum()) > 0
+
+    def test_pt_grad_matches_fd_fixed_seed(self, setup):
+        # With the SAME seed, the PT estimator is a deterministic function;
+        # its gradient must match FD like any other function.
+        scene, cam = setup
+        params = grad_mod.extract_params(scene, keys=("albedo",))
+        target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+
+        def render_fn(s):
+            img, _ = pathtracer.render_pass(
+                s, cam, jnp.uint32(7), depth_limit=2, differentiable=True
+            )
+            return img
+
+        loss_fn = grad_mod.make_loss_fn(scene, render_fn, target)
+        g = jax.grad(loss_fn)(params)["albedo"].reshape(-1)
+        idx = 2 * 3 + 1
+        fd = grad_mod.finite_difference(loss_fn, params, "albedo", idx, eps=1e-3)
+        got, want = float(g[idx]), float(fd)
+        assert abs(got - want) <= 1e-5 + 0.05 * abs(want), (got, want)
+
+
+class TestOptimization:
+    def test_albedo_recovery(self, setup):
+        # inverse rendering: perturb the cube albedo, recover it from the
+        # original image by gradient descent (config 5's mechanism, tiny)
+        import optax
+
+        scene, cam = setup
+        target = whitted_image(scene, cam)
+
+        params = grad_mod.extract_params(scene, keys=("albedo",))
+        true_albedo = params["albedo"]
+        params = {"albedo": params["albedo"].at[2].set(jnp.array([0.2, 0.9, 0.4]))}
+
+        loss_fn = grad_mod.make_loss_fn(scene, lambda s: whitted_image(s, cam), target)
+        opt = optax.adam(0.05)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, st):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            up, st = opt.update(g, st, p)
+            return optax.apply_updates(p, up), st, l
+
+        losses = []
+        for _ in range(60):
+            params, opt_state, l = step(params, opt_state)
+            losses.append(float(l))
+        assert losses[-1] < losses[0] * 0.05
+        np.testing.assert_allclose(
+            np.asarray(params["albedo"][2]), np.asarray(true_albedo[2]), atol=0.08
+        )
