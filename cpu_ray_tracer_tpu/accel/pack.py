@@ -1,0 +1,128 @@
+"""Packing a threaded BVH + triangle pool into the Pallas packet-traversal
+kernel's VMEM-friendly row layout.
+
+Why this layout (see ops/pallas/packet_bvh.py for the kernel):
+
+* TPU VMEM is tiled (8, 128); an [M, 16] array physically pads its lane
+  dimension to 128 — 8x waste.  Packing 8 records of 16 f32 into one
+  128-lane row wastes nothing, and a record is selected from a loaded row
+  with a one-hot multiply + sum — pure vector ops, no per-lane gather.
+* The node table is replicated once per ray-direction octant with THAT
+  octant's hit/miss skip links baked into each record, so the kernel's
+  per-tile traversal order is a single scalar cursor chase.
+* Leaf triangles are re-stored contiguously, 8 per 128-lane row, padded
+  with degenerate triangles (zero edges -> Möller–Trumbore determinant 0,
+  never hits), so a leaf visit tests whole rows unconditionally — uniform
+  SIMD work, no masking on counts.
+
+Integer fields ride in the f32 rows as exact small floats (< 2^24).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from flax import struct
+
+import jax.numpy as jnp
+
+NODE_F = 16  # floats per node record
+NODES_PER_ROW = 128 // NODE_F  # 8
+TRI_F = 16  # floats per triangle record (v0, e1, e2, 7 pad)
+TRIS_PER_ROW = 128 // TRI_F  # 8
+
+# record field offsets
+F_BMIN = 0
+F_BMAX = 3
+F_LF = 6  # interior: unused; leaf: first triangle ROW index
+F_CNT = 7  # 0 = interior, else triangle count
+F_HIT = 8  # hit link (this octant's near-first DFS)
+F_MISS = 9
+F_NROWS = 10  # leaf: number of triangle rows
+
+
+@struct.dataclass
+class PackedBVH:
+    node_rows: jnp.ndarray  # [8, R_n, 128] f32 — per-octant node records
+    tri_rows: jnp.ndarray  # [R_t, 128] f32 — leaf triangle records
+    slot_tri: jnp.ndarray  # [R_t * 8] i32 — slot -> pool triangle id (-1 pad)
+    root: int = struct.field(pytree_node=False, default=0)
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+
+
+def pack_bvh(host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, miss) -> PackedBVH:
+    """host_bvh: accel.bvh_builder._HostBVH (trimmed); hit/miss: [8, M]."""
+    m = host_bvh.nodes_used
+    is_leaf = host_bvh.tri_count > 0
+
+    # --- leaf triangle rows, 8-aligned, padded with degenerate tris -------
+    leaf_ids = np.where(is_leaf)[0]
+    total_rows = int(sum((int(host_bvh.tri_count[n]) + TRIS_PER_ROW - 1) // TRIS_PER_ROW for n in leaf_ids))
+    total_rows = max(total_rows, 1)
+    tri_rows = np.zeros((total_rows, 128), np.float32)
+    slot_tri = np.full(total_rows * TRIS_PER_ROW, -1, np.int32)
+    leaf_row_start = np.zeros(m, np.int64)
+    leaf_nrows = np.zeros(m, np.int64)
+    row = 0
+    for n in leaf_ids:
+        f = int(host_bvh.left_first[n])
+        c = int(host_bvh.tri_count[n])
+        leaf_row_start[n] = row
+        nrows = (c + TRIS_PER_ROW - 1) // TRIS_PER_ROW
+        leaf_nrows[n] = nrows
+        for k in range(c):
+            tid = int(tri_indices[f + k])
+            rr = row + k // TRIS_PER_ROW
+            lane = (k % TRIS_PER_ROW) * TRI_F
+            tri_rows[rr, lane + 0 : lane + 3] = tri_v0[tid]
+            tri_rows[rr, lane + 3 : lane + 6] = tri_e1[tid]
+            tri_rows[rr, lane + 6 : lane + 9] = tri_e2[tid]
+            slot_tri[rr * TRIS_PER_ROW + (k % TRIS_PER_ROW)] = tid
+        row += nrows
+
+    # --- octant-replicated node rows ------------------------------------
+    n_node_rows = (m + NODES_PER_ROW - 1) // NODES_PER_ROW
+    node_rows = np.zeros((8, n_node_rows, 128), np.float32)
+    for o in range(8):
+        for n in range(m):
+            r = n // NODES_PER_ROW
+            lane = (n % NODES_PER_ROW) * NODE_F
+            rec = node_rows[o, r]
+            rec[lane + F_BMIN : lane + F_BMIN + 3] = host_bvh.node_min[n]
+            rec[lane + F_BMAX : lane + F_BMAX + 3] = host_bvh.node_max[n]
+            if is_leaf[n]:
+                rec[lane + F_LF] = float(leaf_row_start[n])
+                rec[lane + F_CNT] = float(host_bvh.tri_count[n])
+                rec[lane + F_NROWS] = float(leaf_nrows[n])
+            rec[lane + F_HIT] = float(hit[o, n])
+            rec[lane + F_MISS] = float(miss[o, n])
+    return PackedBVH(
+        node_rows=jnp.asarray(node_rows),
+        tri_rows=jnp.asarray(tri_rows),
+        slot_tri=jnp.asarray(slot_tri),
+        root=0,
+        num_nodes=m,
+    )
+
+
+def pack_from_arrays(bvh, tris) -> PackedBVH:
+    """Pack device BVHArrays + TrianglePool (pulls to host once)."""
+
+    class _H:
+        pass
+
+    h = _H()
+    h.nodes_used = bvh.num_nodes
+    h.node_min = np.asarray(bvh.node_min)
+    h.node_max = np.asarray(bvh.node_max)
+    h.left_first = np.asarray(bvh.left_first)
+    h.tri_count = np.asarray(bvh.tri_count)
+    pk = pack_bvh(
+        h,
+        np.asarray(bvh.tri_indices),
+        np.asarray(tris.v0),
+        np.asarray(tris.e1),
+        np.asarray(tris.e2),
+        np.asarray(bvh.hit_link),
+        np.asarray(bvh.miss_link),
+    )
+    return pk.replace(root=bvh.root)

@@ -1,0 +1,336 @@
+"""Pallas TPU packet BVH traversal — the hot kernel of the framework.
+
+Replaces the pure-XLA lockstep traversal (ops/traverse_bvh.py) whose
+per-step cost is dominated by dispatch + gathers: here a TILE of 1024 rays
+(two (8, 128) vregs per component) shares ONE scalar node cursor chasing the
+threaded skip links; every step does
+
+  * one dynamic-sublane row fetch from the octant-replicated node table
+    (accel/pack.py layout),
+  * a one-hot record select + static scalar extracts,
+  * a broadcast slab test of the whole tile against the node's AABB
+    (pure VPU math, zero gathers),
+  * on leaf hits, unconditional Möller–Trumbore tests of whole 8-triangle
+    rows (degenerate padding never hits).
+
+The packet visits the union of nodes any live lane needs — the classic
+packet-traversal trade: slightly more nodes than per-ray traversal, vastly
+cheaper per node on a lockstep vector machine.  Ordering uses the tile's
+majority ray-direction octant (correctness is octant-independent; only
+early-out quality varies).
+
+Grid = one program per ray tile; programs run sequentially per core, each
+with its own data-dependent while_loop, so total time is the sum of per-tile
+union traversals, not the max over the whole frame.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpu_ray_tracer_tpu import constants
+from cpu_ray_tracer_tpu.accel.pack import (
+    F_BMAX,
+    F_BMIN,
+    F_CNT,
+    F_HIT,
+    F_LF,
+    F_MISS,
+    F_NROWS,
+    NODE_F,
+    NODES_PER_ROW,
+    PackedBVH,
+    TRI_F,
+    TRIS_PER_ROW,
+)
+
+TILE = 1024  # rays per tile = (8, 128)
+TILE_SHAPE = (8, 128)
+TRI_EPS = constants.TRI_EPS
+BIG = jnp.float32(1e30)
+
+
+def _select_record(row128: jnp.ndarray, sub: jnp.ndarray, n_per_row: int, rec_f: int):
+    """row128 (1, 128) -> (n_per_row, rec_f) -> one-hot select subrecord
+    `sub` -> (rec_f,) vector (still 2D (1, rec_f) for TPU)."""
+    recs = row128.reshape(n_per_row, rec_f)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_per_row, rec_f), 0) == sub
+    ).astype(jnp.float32)
+    return jnp.sum(recs * sel, axis=0, keepdims=True)  # (1, rec_f)
+
+
+def _kernel(
+    oct_ref,  # SMEM [T] i32 per-tile octant
+    ox_ref, oy_ref, oz_ref,  # VMEM [8,128] blocks per tile
+    dx_ref, dy_ref, dz_ref,
+    t0_ref, mask_ref,
+    nodes_ref,  # VMEM [8, Rn, 128] full
+    tris_ref,  # VMEM [Rt, 128] full
+    t_ref, u_ref, v_ref, slot_ref, trav_ref, test_ref,  # outputs per tile
+    *,
+    root: int,
+    any_hit: bool,
+    max_steps: int,
+):
+    pid = pl.program_id(0)
+    o8 = oct_ref[pid]
+
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    # reciprocal directions (template/ray.h:19)
+    rdx = 1.0 / dx
+    rdy = 1.0 / dy
+    rdz = 1.0 / dz
+    mask = mask_ref[0] > 0.5
+
+    def cond(c):
+        cur, t, u, v, slot, trav, test, steps, need = c
+        go = (cur >= 0) & (steps < max_steps)
+        if any_hit:
+            go = go & jnp.any(need)
+        return go
+
+    def body(c):
+        cur, t, u, v, slot, trav, test, steps, need = c
+        r = cur // NODES_PER_ROW
+        sub = cur % NODES_PER_ROW
+        row = nodes_ref[o8, pl.ds(r, 1), :]  # (1, 128)
+        rec = _select_record(row, sub, NODES_PER_ROW, NODE_F)  # (1, 16)
+        bminx, bminy, bminz = rec[0, F_BMIN], rec[0, F_BMIN + 1], rec[0, F_BMIN + 2]
+        bmaxx, bmaxy, bmaxz = rec[0, F_BMAX], rec[0, F_BMAX + 1], rec[0, F_BMAX + 2]
+        lf = rec[0, F_LF].astype(jnp.int32)
+        cnt = rec[0, F_CNT].astype(jnp.int32)
+        hit_link = rec[0, F_HIT].astype(jnp.int32)
+        miss_link = rec[0, F_MISS].astype(jnp.int32)
+        nrows = rec[0, F_NROWS].astype(jnp.int32)
+
+        # broadcast slab test (infra/bvh.cpp:181-190)
+        tx1 = (bminx - ox) * rdx
+        tx2 = (bmaxx - ox) * rdx
+        tmin = jnp.minimum(tx1, tx2)
+        tmax = jnp.maximum(tx1, tx2)
+        ty1 = (bminy - oy) * rdy
+        ty2 = (bmaxy - oy) * rdy
+        tmin = jnp.maximum(tmin, jnp.minimum(ty1, ty2))
+        tmax = jnp.minimum(tmax, jnp.maximum(ty1, ty2))
+        tz1 = (bminz - oz) * rdz
+        tz2 = (bmaxz - oz) * rdz
+        tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
+        tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
+        lane_hit = (tmax >= tmin) & (tmin < t) & (tmax > 0.0) & mask
+        if any_hit:
+            lane_hit = lane_hit & need
+        n_hit = jnp.sum(lane_hit.astype(jnp.int32))
+        any_lane = n_hit > 0
+        is_leaf = cnt > 0
+
+        trav = trav + jnp.where(mask, 1, 0)
+
+        def leaf_tests(args):
+            t, u, v, slot, test = args
+
+            def row_body(i, args2):
+                t, u, v, slot, test = args2
+                trow = tris_ref[pl.ds(lf + i, 1), :]  # (1, 128)
+                base_slot = (lf + i) * TRIS_PER_ROW
+                for k in range(TRIS_PER_ROW):
+                    lane0 = k * TRI_F
+                    v0x, v0y, v0z = trow[0, lane0], trow[0, lane0 + 1], trow[0, lane0 + 2]
+                    e1x, e1y, e1z = trow[0, lane0 + 3], trow[0, lane0 + 4], trow[0, lane0 + 5]
+                    e2x, e2y, e2z = trow[0, lane0 + 6], trow[0, lane0 + 7], trow[0, lane0 + 8]
+                    # Möller–Trumbore, broadcast tri vs ray tile
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    f = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    uu = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    vv = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (jnp.abs(a) >= TRI_EPS)
+                        & (uu >= 0.0)
+                        & (uu <= 1.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (tt > TRI_EPS)
+                        & (tt < t)
+                        & mask
+                    )
+                    t = jnp.where(ok, tt, t)
+                    u = jnp.where(ok, uu, u)
+                    v = jnp.where(ok, vv, v)
+                    slot = jnp.where(ok, base_slot + k, slot)
+                test = test + jnp.where(mask, TRIS_PER_ROW, 0)
+                return t, u, v, slot, test
+
+            return jax.lax.fori_loop(0, nrows, row_body, (t, u, v, slot, test))
+
+        do_leaf = any_lane & is_leaf
+        t, u, v, slot, test = jax.lax.cond(
+            do_leaf, leaf_tests, lambda a: a, (t, u, v, slot, test)
+        )
+
+        descend = any_lane & (~is_leaf)
+        cur = jnp.where(descend, hit_link, miss_link)
+        if any_hit:
+            need = need & (slot < 0)
+        return cur, t, u, v, slot, trav, test, steps + 1, need
+
+    t0 = t0_ref[0]
+    init = (
+        jnp.int32(root),
+        t0,
+        jnp.zeros(TILE_SHAPE, jnp.float32),
+        jnp.zeros(TILE_SHAPE, jnp.float32),
+        jnp.full(TILE_SHAPE, -1, jnp.int32),
+        jnp.zeros(TILE_SHAPE, jnp.int32),
+        jnp.zeros(TILE_SHAPE, jnp.int32),
+        jnp.int32(0),
+        mask,  # `need` for any-hit early out
+    )
+    cur, t, u, v, slot, trav, test, steps, need = jax.lax.while_loop(cond, body, init)
+    t_ref[0] = t
+    u_ref[0] = u
+    v_ref[0] = v
+    slot_ref[0] = slot
+    trav_ref[0] = trav
+    test_ref[0] = test
+
+
+def _tile_arrays(x: jnp.ndarray, n_tiles: int):
+    return x.reshape(n_tiles, *TILE_SHAPE)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("any_hit", "interpret", "root", "max_steps")
+)
+def _run(
+    oct_per_tile,
+    comps,
+    node_rows,
+    tri_rows,
+    root: int,
+    any_hit: bool,
+    max_steps: int,
+    interpret: bool,
+):
+    n_tiles = oct_per_tile.shape[0]
+    tile_spec = pl.BlockSpec((1, *TILE_SHAPE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    full = lambda ndim: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.float32),  # t
+        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.float32),  # u
+        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.float32),  # v
+        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32),  # slot
+        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32),  # traversed
+        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32),  # tested
+    ]
+    kernel = functools.partial(_kernel, root=root, any_hit=any_hit, max_steps=max_steps)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # octants
+            *[tile_spec] * 8,  # ox..mask
+            full(3),  # nodes
+            full(2),  # tris
+        ],
+        out_specs=[tile_spec] * 6,
+        interpret=interpret,
+    )(oct_per_tile, *comps, node_rows, tri_rows)
+
+
+def traverse(
+    pk: PackedBVH,
+    tris,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t0: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    any_hit: bool = False,
+    interpret: bool = False,
+):
+    """Same contract as ops.traverse_bvh.traverse, via the packet kernel.
+
+    `tris` is the TrianglePool (for obj/mat id recovery).  `mask` marks live
+    rays (dead lanes neither traverse nor hit).
+    """
+    r = o.shape[0]
+    n_tiles = max((r + TILE - 1) // TILE, 1)
+    pad = n_tiles * TILE - r
+
+    def pad1(x, fill):
+        return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
+
+    ox = pad1(o[:, 0], 0.0)
+    oy = pad1(o[:, 1], 0.0)
+    oz = pad1(o[:, 2], 0.0)
+    dx = pad1(d[:, 0], 1.0)
+    dy = pad1(d[:, 1], 1.0)
+    dz = pad1(d[:, 2], 1.0)
+    t0p = pad1(t0, 0.0)
+    if mask is None:
+        mask = jnp.ones((r,), jnp.float32)
+    else:
+        mask = mask.astype(jnp.float32)
+    maskp = pad1(mask, 0.0)
+
+    # per-tile majority octant (cheap: bincount over 8 buckets)
+    oct_ray = (
+        (dx < 0).astype(jnp.int32)
+        + 2 * (dy < 0).astype(jnp.int32)
+        + 4 * (dz < 0).astype(jnp.int32)
+    ).reshape(n_tiles, TILE)
+    onehot = jax.nn.one_hot(oct_ray, 8, dtype=jnp.int32)  # [T, TILE, 8]
+    counts = jnp.sum(onehot * maskp.reshape(n_tiles, TILE, 1).astype(jnp.int32), axis=1)
+    oct_tile = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+
+    comps = [
+        _tile_arrays(x, n_tiles) for x in (ox, oy, oz, dx, dy, dz, t0p, maskp)
+    ]
+    max_steps = 4 * pk.num_nodes + 16
+    t, u, v, slot, trav, test = _run(
+        oct_tile,
+        tuple(comps),
+        pk.node_rows,
+        pk.tri_rows,
+        root=pk.root,
+        any_hit=any_hit,
+        max_steps=max_steps,
+        interpret=interpret,
+    )
+
+    def unpad(x):
+        return x.reshape(-1)[:r]
+
+    t = unpad(t)
+    u = unpad(u)
+    v = unpad(v)
+    slot = unpad(slot)
+    tri_idx = jnp.where(slot >= 0, pk.slot_tri[jnp.maximum(slot, 0)], -1)
+    found = tri_idx >= 0
+    tri_safe = jnp.maximum(tri_idx, 0)
+    return dict(
+        t=t,
+        bary=jnp.stack([u, v], axis=-1),
+        tri_idx=tri_idx,
+        obj_id=jnp.where(found, tris.obj_id[tri_safe], -1),
+        mat_id=jnp.where(found, tris.mat_id[tri_safe], -1),
+        traversed=unpad(trav),
+        tested=unpad(test),
+    )
