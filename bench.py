@@ -31,6 +31,9 @@ def main():
     from cpu_ray_tracer_tpu.render import pathtracer
     from cpu_ray_tracer_tpu.scene.build import compile_scene
 
+    if os.path.isdir(os.path.join(REPO, ".jax_cache")):
+        jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+
     spp = int(os.environ.get("BENCH_SPP", SPP))
     width = int(os.environ.get("BENCH_WIDTH", WIDTH))
     height = int(os.environ.get("BENCH_HEIGHT", HEIGHT))
@@ -40,6 +43,8 @@ def main():
     )
     camera = cam_mod.make_camera(width, height, pos=(0.0, 0.3, -1.2), target=(0.0, -0.1, 2.5))
 
+    # NOTE: only scalar reductions cross the device boundary — tunneled TPU
+    # device->host reads of full images are prohibitively slow.
     @jax.jit
     def render_batch(spp_start):
         def body(i, acc):
@@ -47,15 +52,16 @@ def main():
             return (acc[0] + img, acc[1] + stats["rays_traced"].astype(jnp.float32))
 
         film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
-        return jax.lax.fori_loop(0, spp, body, (film, jnp.float32(0.0)))
+        film, nrays = jax.lax.fori_loop(0, spp, body, (film, jnp.float32(0.0)))
+        return jnp.sum(film), nrays
 
     # warmup / compile
-    film, nrays = render_batch(jnp.uint32(0))
-    film.block_until_ready()
+    energy, nrays = render_batch(jnp.uint32(0))
+    energy.block_until_ready()
 
     t0 = time.perf_counter()
-    film, nrays = render_batch(jnp.uint32(spp))
-    film.block_until_ready()
+    energy, nrays = render_batch(jnp.uint32(spp))
+    energy.block_until_ready()
     dt = time.perf_counter() - t0
 
     total_rays = float(nrays)
@@ -71,8 +77,9 @@ def main():
             "seconds": dt,
             "total_rays": total_rays,
             "triangles": info.triangle_count,
-            "energy": float(film.sum() / spp),
+            "energy": float(energy) / spp,
             "device": str(jax.devices()[0]),
+            "pallas": bool(scene.use_pallas),
         },
     }
     print(json.dumps(result))

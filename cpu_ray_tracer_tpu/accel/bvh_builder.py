@@ -69,11 +69,18 @@ def build_bvh(
     sah: bool = True,
     bins: int = 8,
     force_split_cap: int | None = 4,
+    leaf_target: int | None = None,
 ):
     """Build a BVH over triangles `tri_v` [N, 3, 3].
 
+    `leaf_target`: stop subdividing once a node holds <= this many triangles
+    (reference behavior = 2).  The Pallas packet kernel prefers fatter
+    leaves (8: one packed triangle row) — fewer scalar node steps, and the
+    extra triangle tests are free vector work across the ray tile.
+
     Returns (host_bvh, tri_indices [N] int32, BuildStats).
     """
+    leaf_stop = 2 if leaf_target is None else leaf_target
     t0 = time.perf_counter()
     n = tri_v.shape[0]
     cent = tri_centroids(tri_v)
@@ -96,7 +103,7 @@ def build_bvh(
         bvh.node_min[node] = tmin[sl].min(axis=0)
         bvh.node_max[node] = tmax[sl].max(axis=0)
         bvh.max_depth = max(bvh.max_depth, depth)
-        if count <= 2:
+        if count <= leaf_stop:
             continue
 
         axis = -1

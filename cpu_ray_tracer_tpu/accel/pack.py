@@ -104,8 +104,33 @@ def pack_bvh(host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, mis
     )
 
 
+class HostBVHView:
+    """Duck-typed host view for pack_bvh (matches _HostBVH attributes)."""
+
+    def __init__(self, nodes_used, node_min, node_max, left_first, tri_count):
+        self.nodes_used = nodes_used
+        self.node_min = node_min
+        self.node_max = node_max
+        self.left_first = left_first
+        self.tri_count = tri_count
+
+
+def pack_host(
+    node_min, node_max, left_first, tri_count,
+    tri_indices, tri_v0, tri_e1, tri_e2, hit, miss, root: int,
+) -> PackedBVH:
+    """Pack from HOST numpy arrays — the path the scene compiler uses.
+    (Never pull device arrays back: device->host transfers can be orders of
+    magnitude slower than host->device on tunneled TPU runtimes.)"""
+    view = HostBVHView(node_min.shape[0], node_min, node_max, left_first, tri_count)
+    pk = pack_bvh(view, tri_indices, tri_v0, tri_e1, tri_e2, hit, miss)
+    return pk.replace(root=root)
+
+
 def pack_from_arrays(bvh, tris) -> PackedBVH:
-    """Pack device BVHArrays + TrianglePool (pulls to host once)."""
+    """Pack device BVHArrays + TrianglePool (pulls to host once).  Only for
+    tests/CPU: on tunneled TPUs device->host reads are very slow — use
+    pack_host with the compiler's numpy arrays instead."""
 
     class _H:
         pass

@@ -57,13 +57,11 @@ BIG = jnp.float32(1e30)
 
 
 def _select_record(row128: jnp.ndarray, sub: jnp.ndarray, n_per_row: int, rec_f: int):
-    """row128 (1, 128) -> (n_per_row, rec_f) -> one-hot select subrecord
-    `sub` -> (rec_f,) vector (still 2D (1, rec_f) for TPU)."""
-    recs = row128.reshape(n_per_row, rec_f)
-    sel = (
-        jax.lax.broadcasted_iota(jnp.int32, (n_per_row, rec_f), 0) == sub
-    ).astype(jnp.float32)
-    return jnp.sum(recs * sel, axis=0, keepdims=True)  # (1, rec_f)
+    """Rotate subrecord `sub` of a packed (1, 128) row to lanes [0, rec_f)
+    so its fields can be read with static extracts.  A dynamic lane rotate
+    is one VPU op (tpu.dynamic_rotate) — no cross-layout reshape, no
+    per-lane gather."""
+    return pltpu.roll(row128, -rec_f * sub, 1)
 
 
 def _kernel(

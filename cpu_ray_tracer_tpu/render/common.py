@@ -24,7 +24,7 @@ def direct_illumination(scene: DeviceScene, point: jnp.ndarray, normal: jnp.ndar
     ndotl = vm.dot(normal, l)
     facing = ndotl >= EPS
     occluded = query.is_occluded(
-        scene, point + l * EPS, l, jnp.maximum(dist - 2 * EPS, 1e-6)
+        scene, point + l * EPS, l, jnp.maximum(dist - 2 * EPS, 1e-6), mask=active
     )
     att = 1.0 / jnp.maximum(dist * dist, 1e-20)
     irr = scene.light_color * (att * ndotl)[..., None]

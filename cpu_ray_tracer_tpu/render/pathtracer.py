@@ -66,7 +66,7 @@ def sample_radiance(
 
     def bounce(depth, s):
         alive = s["alive"]
-        res = nearest(scene, s["o"], s["d"])
+        res = nearest(scene, s["o"], s["d"], mask=alive)
         t = res["t"]
         obj = res["obj_idx"]
         hit = (obj >= 0) & alive

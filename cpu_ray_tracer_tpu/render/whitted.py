@@ -42,7 +42,7 @@ def _shade_level(
     stats dict).
     """
     nearest = query.find_nearest_diff if differentiable else query.find_nearest
-    res = nearest(scene, o, d)
+    res = nearest(scene, o, d, mask=alive)
     t = res["t"]
     obj = res["obj_idx"]
     hit_mask = (obj >= 0) & alive
@@ -66,7 +66,7 @@ def _shade_level(
     contrib = jnp.where(is_light[..., None], weight * scene.light_color, contrib)
 
     do_diffuse = surf & (diff > 0.0)
-    irradiance = common.direct_illumination(scene, point + normal * 0.0, normal, active=do_diffuse)
+    irradiance = common.direct_illumination(scene, point, normal, active=do_diffuse)
     brdf = albedo * constants.INVPI
     local = diff[..., None] * brdf * (irradiance + AMBIENT)
     contrib = jnp.where(do_diffuse[..., None], contrib + weight * medium * local, contrib)

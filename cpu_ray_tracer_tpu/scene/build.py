@@ -78,6 +78,8 @@ def compile_scene(
     bilinear: bool = False,
     force_split_cap: int | None = 4,
     shadow_quirk: bool = True,
+    use_pallas: bool | None = None,
+    leaf_target: int | None = None,
 ) -> tuple[DeviceScene, SceneInfo]:
     """`layout` picks FileScene ("mono") vs TLASFileScene ("tlas") semantics;
     `accel` picks the structure (USE_BVH / USE_Grid / USE_KDTree).  Grid and
@@ -86,6 +88,16 @@ def compile_scene(
     types; here the TLAS path always uses the fused threaded BVH forest)."""
     if layout == "tlas" and accel != "bvh":
         raise NotImplementedError("grid/kdtree accel requires layout='mono'")
+    import jax
+
+    if use_pallas is None:
+        # the packet kernel is compiled for real TPUs; CPU runs use the
+        # pure-XLA traversal (the kernel still works there via interpret)
+        use_pallas = jax.default_backend() == "tpu"
+    if parity:
+        use_pallas = False  # keep the reference-exact code path
+    if leaf_target is None and use_pallas:
+        leaf_target = 8  # one packed triangle row per leaf
     if spec is None:
         spec = load_scene_xml(xml_path)
     xml_dir = spec.xml_dir
@@ -172,9 +184,17 @@ def compile_scene(
     # ---- acceleration structure ----------------------------------------
     grid_arr = None
     kd_arr = None
+    host_pack = None
     if layout == "mono":
-        host, idx, stats = bvh_builder.build_bvh(all_v, force_split_cap=force_split_cap)
+        host, idx, stats = bvh_builder.build_bvh(
+            all_v, force_split_cap=force_split_cap, leaf_target=leaf_target
+        )
         hit, miss = bvh_builder.thread_links(host.left, host.right, host.tri_count, host.axis)
+        host_pack = dict(
+            node_min=host.node_min, node_max=host.node_max,
+            left_first=host.left_first, tri_count=host.tri_count,
+            tri_indices=idx, hit=hit, miss=miss, root=0,
+        )
         bvh = BVHArrays(
             node_min=to_device_f32(host.node_min),
             node_max=to_device_f32(host.node_max),
@@ -205,7 +225,9 @@ def compile_scene(
             kd_arr = kdtree_builder.to_device(khost)
             info.build_stats = kstats
     else:
-        bvh, stats, blas_stats = _build_unified_tlas(inst_v, force_split_cap)
+        bvh, stats, blas_stats, host_pack = _build_unified_tlas(
+            inst_v, force_split_cap, leaf_target
+        )
         info = SceneInfo(
             name=spec.name,
             triangle_count=int(all_v.shape[0]),
@@ -217,6 +239,18 @@ def compile_scene(
     # ---- light / floor ---------------------------------------------------
     light_t = vm.mat_translate(tuple(spec.light_pos))
     light_inv_t = vm.mat_inverted_no_scale(light_t)
+
+    packed = None
+    if use_pallas and accel == "bvh" and host_pack is not None:
+        from cpu_ray_tracer_tpu.accel import pack as pack_mod
+
+        v0h = all_v[:, 0]
+        packed = pack_mod.pack_host(
+            host_pack["node_min"], host_pack["node_max"],
+            host_pack["left_first"], host_pack["tri_count"],
+            host_pack["tri_indices"], v0h, all_v[:, 1] - v0h, all_v[:, 2] - v0h,
+            host_pack["hit"], host_pack["miss"], host_pack["root"],
+        )
 
     scene = DeviceScene(
         tris=pool,
@@ -234,11 +268,13 @@ def compile_scene(
         shadow_quirk=shadow_quirk,
         grid=grid_arr,
         kd=kd_arr,
+        packed=packed,
+        use_pallas=use_pallas and packed is not None,
     )
     return scene, info
 
 
-def _build_unified_tlas(inst_v: list[np.ndarray], force_split_cap):
+def _build_unified_tlas(inst_v: list[np.ndarray], force_split_cap, leaf_target=None):
     """Per-instance world-space BVHs + agglomerative TLAS, fused into one
     threaded node forest (see module docstring)."""
     n_inst = len(inst_v)
@@ -248,7 +284,9 @@ def _build_unified_tlas(inst_v: list[np.ndarray], force_split_cap):
     tri_base = 0
     inst_bounds = []
     for v in inst_v:
-        host, idx, stats = bvh_builder.build_bvh(v, force_split_cap=force_split_cap)
+        host, idx, stats = bvh_builder.build_bvh(
+            v, force_split_cap=force_split_cap, leaf_target=leaf_target
+        )
         blas_hosts.append(host)
         blas_idx.append(idx + tri_base)
         blas_stats.append(stats)
@@ -308,6 +346,10 @@ def _build_unified_tlas(inst_v: list[np.ndarray], force_split_cap):
 
     root = map_child(tlas.root)
     hit, miss = bvh_builder.thread_links(left, right, tri_count, axis, roots=[root])
+    host_pack = dict(
+        node_min=node_min, node_max=node_max, left_first=left_first,
+        tri_count=tri_count, tri_indices=all_idx, hit=hit, miss=miss, root=root,
+    )
 
     max_leaf = max(s.max_leaf for s in blas_stats)
     max_depth = (1 + int(np.ceil(np.log2(max(n_inst, 2))))) + max(
@@ -332,4 +374,4 @@ def _build_unified_tlas(inst_v: list[np.ndarray], force_split_cap):
         max_depth=max_depth,
         root=root,
     )
-    return bvh, tlas_stats, blas_stats
+    return bvh, tlas_stats, blas_stats, host_pack

@@ -20,7 +20,7 @@ FLOOR_NORMAL = np.array([0.0, 1.0, 0.0], np.float32)
 FLOOR_D = np.float32(1.0)
 
 
-def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False):
+def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=None):
     """Dispatch on the scene's accelerator kind — the data-driven analog of
     the reference's USE_BVH/USE_Grid/USE_KDTree defines (file_scene.h:10-12);
     every accelerator answers the same query contract."""
@@ -28,12 +28,23 @@ def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False):
         return traverse_grid.traverse(scene.grid, scene.tris, o, d, t, any_hit=any_hit)
     if scene.accel_kind == "kdtree":
         return traverse_kd.traverse(scene.kd, scene.tris, o, d, t, any_hit=any_hit)
+    if scene.use_pallas and scene.packed is not None:
+        from cpu_ray_tracer_tpu.ops.pallas import packet_bvh
+
+        interpret = jax.default_backend() != "tpu"
+        return packet_bvh.traverse(
+            scene.packed, scene.tris, o, d, t,
+            mask=mask, any_hit=any_hit, interpret=interpret,
+        )
     return traverse_bvh.traverse(scene.bvh, scene.tris, o, d, t, any_hit=any_hit)
 
 
-def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None):
+def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, mask=None):
     """Nearest hit over light quad -> floor plane -> triangle accel, the same
     composition as FileScene::FindNearest (file_scene.cpp:170-175).
+
+    `mask` (optional [R] bool) marks live rays; dead lanes are skipped by the
+    packet kernel (and report no hit).
 
     Returns dict(t, obj_idx, tri_idx, bary, traversed, tested).
     """
@@ -53,7 +64,7 @@ def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None):
         t = jnp.where(fhit, ft, t)
         obj = jnp.where(fhit, 1, obj)
 
-    res = _traverse_accel(scene, o, d, t)
+    res = _traverse_accel(scene, o, d, t, mask=mask)
     tri_hit = res["tri_idx"] >= 0
     return dict(
         t=res["t"],
@@ -66,7 +77,7 @@ def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None):
     )
 
 
-def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None):
+def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, mask=None):
     """Differentiable nearest-hit: traversal runs detached (discrete hit
     SELECTION carries no gradient — `lax.while_loop` is not reverse-mode
     differentiable and visibility is discontinuous anyway), then t and the
@@ -75,7 +86,7 @@ def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=Non
     light transform.  This is the classic detached-sampling formulation of
     differentiable rendering (non-silhouette gradients)."""
     hit = find_nearest(
-        scene, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), t0
+        scene, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), t0, mask=mask
     )
     hit = {k: jax.lax.stop_gradient(v) for k, v in hit.items()}
     tri = hit["tri_idx"]
@@ -121,7 +132,7 @@ def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=Non
     return out
 
 
-def is_occluded(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, dist: jnp.ndarray):
+def is_occluded(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, dist: jnp.ndarray, mask=None):
     """Shadow query with the reference's exact semantics
     (file_scene.cpp:177-187): the light quad is tested against
     t = dist (the caller passes dist - 2*EPSILON), then the triangle accel is
@@ -143,7 +154,7 @@ def is_occluded(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, dist: jnp.nd
         if scene.shadow_quirk
         else dist
     )
-    res = _traverse_accel(scene, o, d, tri_t, any_hit=True)
+    res = _traverse_accel(scene, o, d, tri_t, any_hit=True, mask=mask)
     return occ | (res["tri_idx"] >= 0)
 
 

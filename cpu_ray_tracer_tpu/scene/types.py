@@ -47,6 +47,10 @@ class DeviceScene:
     # pytree structure stays stable
     grid: object = None  # GridArrays
     kd: object = None  # KDTreeArrays
+    # packed layout for the Pallas packet-traversal kernel (accel/pack.py);
+    # present when accel_kind == "bvh" and use_pallas is set
+    packed: object = None  # PackedBVH
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
 
 
 @dataclasses.dataclass

@@ -102,3 +102,21 @@ class TestKernelInterpret:
         res = packet_bvh.traverse(pk, pool, o, d, jnp.array([1e34], jnp.float32), interpret=True)
         assert int(res["tri_idx"][0]) >= 0
         np.testing.assert_allclose(float(res["t"][0]), 2.0, rtol=1e-5)
+
+
+class TestPallasSceneIntegration:
+    def test_whitted_image_matches_xla_path(self, rng):
+        import os
+        from cpu_ray_tracer_tpu.core import camera as cam_mod
+        from cpu_ray_tracer_tpu.render import whitted
+        from cpu_ray_tracer_tpu.scene.build import compile_scene
+        from tests.conftest import OUR_ASSETS
+
+        xml = os.path.join(OUR_ASSETS, "scenes", "cube_scene.xml")
+        cam = cam_mod.make_camera(24, 16)
+        ref_scene, _ = compile_scene(xml, layout="tlas", use_pallas=False)
+        ref = np.asarray(whitted.render(ref_scene, cam)["image"])
+        pal_scene, _ = compile_scene(xml, layout="tlas", use_pallas=True)
+        assert pal_scene.use_pallas and pal_scene.packed is not None
+        img = np.asarray(whitted.render(pal_scene, cam)["image"])
+        np.testing.assert_allclose(img, ref, atol=2e-3, rtol=1e-3)
