@@ -44,23 +44,26 @@ def main():
     camera = cam_mod.make_camera(width, height, pos=(0.0, 0.3, -1.2), target=(0.0, -0.1, 2.5))
 
     # NOTE: only scalar reductions cross the device boundary — tunneled TPU
-    # device->host reads of full images are prohibitively slow.
+    # device->host reads of full images are prohibitively slow.  One jitted
+    # program per progressive pass (a single fused many-pass program runs
+    # long enough to trip the device executor watchdog).
     @jax.jit
-    def render_batch(spp_start):
-        def body(i, acc):
-            img, stats = pathtracer.render_pass(scene, camera, spp_start + i)
-            return (acc[0] + img, acc[1] + stats["rays_traced"].astype(jnp.float32))
+    def one_pass(film, nrays, spp_idx):
+        img, stats = pathtracer.render_pass(scene, camera, spp_idx)
+        return film + img, nrays + stats["rays_traced"].astype(jnp.float32)
 
-        film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
-        film, nrays = jax.lax.fori_loop(0, spp, body, (film, jnp.float32(0.0)))
-        return jnp.sum(film), nrays
-
+    film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
+    nrays = jnp.float32(0.0)
     # warmup / compile
-    energy, nrays = render_batch(jnp.uint32(0))
-    energy.block_until_ready()
+    film, nrays = one_pass(film, nrays, jnp.uint32(0))
+    film.block_until_ready()
+    film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
+    nrays = jnp.float32(0.0)
 
     t0 = time.perf_counter()
-    energy, nrays = render_batch(jnp.uint32(spp))
+    for p in range(spp):
+        film, nrays = one_pass(film, nrays, jnp.uint32(p + 1))
+    energy = jnp.sum(film)
     energy.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -79,7 +79,17 @@ def build_bvh(
     extra triangle tests are free vector work across the ray tile.
 
     Returns (host_bvh, tri_indices [N] int32, BuildStats).
+
+    Uses the native C++ builder (accel/native.py) when available — same
+    semantics, ~20x faster; set CRT_NATIVE=0 to force the numpy path.
     """
+    from cpu_ray_tracer_tpu.accel import native
+
+    nat = native.build_bvh_native(
+        tri_v, sah=sah, bins=bins, force_split_cap=force_split_cap, leaf_target=leaf_target
+    )
+    if nat is not None:
+        return nat
     leaf_stop = 2 if leaf_target is None else leaf_target
     t0 = time.perf_counter()
     n = tri_v.shape[0]
@@ -218,6 +228,11 @@ def thread_links(
     When `roots` lists multiple roots (a forest), the forests are chained in
     order: finishing one tree continues at the next root.
     """
+    from cpu_ray_tracer_tpu.accel import native
+
+    nat = native.thread_links_native(left, right, tri_count, axis, roots=roots)
+    if nat is not None:
+        return nat
     m = left.shape[0]
     if roots is None:
         roots = [0]

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cpu_ray_tracer_tpu import constants
+from cpu_ray_tracer_tpu.ops.traverse_bvh import ray_octants
 from cpu_ray_tracer_tpu.accel.pack import (
     F_BMAX,
     F_BMIN,
@@ -332,3 +333,42 @@ def traverse(
         traversed=unpad(trav),
         tested=unpad(test),
     )
+
+
+def traverse_sorted(
+    pk: PackedBVH,
+    tris,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t0: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    any_hit: bool = False,
+    interpret: bool = False,
+):
+    """traverse() behind a stable octant sort of the ray batch.
+
+    Bounce rays are incoherent: a mixed-octant tile visits the union of
+    nodes its rays need with a single traversal order.  Sorting by
+    (dead-last, direction octant) groups rays into direction-coherent tiles
+    and parks terminated lanes together in tiles that exit immediately —
+    free compaction.  The two argsorts are O(R log R) device sorts, far
+    cheaper than the traversal they accelerate.
+    """
+    r = o.shape[0]
+    if mask is None:
+        mask = jnp.ones((r,), jnp.bool_)
+    oct_ = ray_octants(d)
+    key = jnp.where(mask, oct_, 8)  # dead rays last
+    perm = jnp.argsort(key, stable=True)
+    res = traverse(
+        pk,
+        tris,
+        o[perm],
+        d[perm],
+        t0[perm],
+        mask=mask[perm],
+        any_hit=any_hit,
+        interpret=interpret,
+    )
+    inv = jnp.argsort(perm)
+    return {k: v[inv] for k, v in res.items()}

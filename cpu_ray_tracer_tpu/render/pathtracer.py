@@ -66,7 +66,7 @@ def sample_radiance(
 
     def bounce(depth, s):
         alive = s["alive"]
-        res = nearest(scene, s["o"], s["d"], mask=alive)
+        res = nearest(scene, s["o"], s["d"], mask=alive, sort_rays=True)
         t = res["t"]
         obj = res["obj_idx"]
         hit = (obj >= 0) & alive

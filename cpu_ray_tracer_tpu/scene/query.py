@@ -20,7 +20,7 @@ FLOOR_NORMAL = np.array([0.0, 1.0, 0.0], np.float32)
 FLOOR_D = np.float32(1.0)
 
 
-def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=None):
+def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=None, sort_rays: bool = False):
     """Dispatch on the scene's accelerator kind — the data-driven analog of
     the reference's USE_BVH/USE_Grid/USE_KDTree defines (file_scene.h:10-12);
     every accelerator answers the same query contract."""
@@ -32,14 +32,15 @@ def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=Non
         from cpu_ray_tracer_tpu.ops.pallas import packet_bvh
 
         interpret = jax.default_backend() != "tpu"
-        return packet_bvh.traverse(
+        fn = packet_bvh.traverse_sorted if sort_rays else packet_bvh.traverse
+        return fn(
             scene.packed, scene.tris, o, d, t,
             mask=mask, any_hit=any_hit, interpret=interpret,
         )
     return traverse_bvh.traverse(scene.bvh, scene.tris, o, d, t, any_hit=any_hit)
 
 
-def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, mask=None):
+def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, mask=None, sort_rays: bool = False):
     """Nearest hit over light quad -> floor plane -> triangle accel, the same
     composition as FileScene::FindNearest (file_scene.cpp:170-175).
 
@@ -64,7 +65,7 @@ def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, ma
         t = jnp.where(fhit, ft, t)
         obj = jnp.where(fhit, 1, obj)
 
-    res = _traverse_accel(scene, o, d, t, mask=mask)
+    res = _traverse_accel(scene, o, d, t, mask=mask, sort_rays=sort_rays)
     tri_hit = res["tri_idx"] >= 0
     return dict(
         t=res["t"],
@@ -77,7 +78,7 @@ def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, ma
     )
 
 
-def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, mask=None):
+def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, mask=None, sort_rays: bool = False):
     """Differentiable nearest-hit: traversal runs detached (discrete hit
     SELECTION carries no gradient — `lax.while_loop` is not reverse-mode
     differentiable and visibility is discontinuous anyway), then t and the
@@ -86,7 +87,8 @@ def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=Non
     light transform.  This is the classic detached-sampling formulation of
     differentiable rendering (non-silhouette gradients)."""
     hit = find_nearest(
-        scene, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), t0, mask=mask
+        scene, jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), t0,
+        mask=mask, sort_rays=sort_rays,
     )
     hit = {k: jax.lax.stop_gradient(v) for k, v in hit.items()}
     tri = hit["tri_idx"]
