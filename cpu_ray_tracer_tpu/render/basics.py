@@ -25,7 +25,7 @@ def render(scene: DeviceScene, camera: cam_mod.Camera, aov: str = "albedo"):
     hit = (res["obj_idx"] >= 0)[..., None]
 
     if aov == "albedo":
-        img = jnp.where(hit, query.get_albedo(scene, mat_id, uv), 0.0)
+        img = jnp.where(hit, query.get_albedo(scene, mat_id, uv, obj=res["obj_idx"], point=point), 0.0)
     elif aov == "normal":
         img = jnp.where(hit, (normal + 1.0) * 0.5, 0.0)
     elif aov == "depth":

@@ -81,7 +81,7 @@ def sample_radiance(
 
         point = s["o"] + t[..., None] * s["d"]
         normal, uv, mat_id = query.get_hit_info(scene, res, point, s["d"])
-        albedo = query.get_albedo(scene, mat_id, uv)
+        albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point)
         is_light = scene.materials.is_light[mat_id] & hit
         radiance = radiance + jnp.where(
             is_light[..., None], s["throughput"] * scene.light_color, 0.0

@@ -50,7 +50,7 @@ def _shade_level(
 
     point = o + t[..., None] * d
     normal, uv, mat_id = query.get_hit_info(scene, res, point, d)
-    albedo = query.get_albedo(scene, mat_id, uv)
+    albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point)
 
     is_light = scene.materials.is_light[mat_id] & hit_mask
     surf = hit_mask & (~is_light)

@@ -15,6 +15,7 @@ from cpu_ray_tracer_tpu.core import textures as tex_mod
 from cpu_ray_tracer_tpu.core import vecmath as vm
 from cpu_ray_tracer_tpu.ops import intersect, traverse_bvh, traverse_grid, traverse_kd
 from cpu_ray_tracer_tpu.scene.types import DeviceScene
+from cpu_ray_tracer_tpu.scene import primitive_scene as prim_scene
 
 FLOOR_NORMAL = np.array([0.0, 1.0, 0.0], np.float32)
 FLOOR_D = np.float32(1.0)
@@ -49,6 +50,8 @@ def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, ma
 
     Returns dict(t, obj_idx, tri_idx, bary, traversed, tested).
     """
+    if isinstance(scene, prim_scene.PrimScene):
+        return prim_scene.find_nearest(scene, o, d, t0=t0, mask=mask)
     r = o.shape[0]
     if t0 is None:
         t = jnp.full((r,), constants.RAY_FAR, jnp.float32)
@@ -143,6 +146,8 @@ def is_occluded(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, dist: jnp.nd
 
     Inputs are detached: visibility is boolean (no useful tangent) and the
     traversal while_loop cannot be reverse-differentiated."""
+    if isinstance(scene, prim_scene.PrimScene):
+        return prim_scene.is_occluded(scene, o, d, dist)
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     dist = jax.lax.stop_gradient(dist)
@@ -163,6 +168,8 @@ def is_occluded(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, dist: jnp.nd
 def get_hit_info(scene: DeviceScene, hit: dict, point: jnp.ndarray, d: jnp.ndarray):
     """Normal / uv / material id per ray (tlas_file_scene.cpp:220-260),
     including the back-face flip `if dot(N, D) > 0: N = -N`."""
+    if isinstance(scene, prim_scene.PrimScene):
+        return prim_scene.get_hit_info(scene, hit, point, d)
     obj = hit["obj_idx"]
     tri_hit = hit["tri_idx"] >= 0
 
@@ -192,7 +199,16 @@ def get_hit_info(scene: DeviceScene, hit: dict, point: jnp.ndarray, d: jnp.ndarr
     return normal, uv, mat_id
 
 
-def get_albedo(scene: DeviceScene, mat_id: jnp.ndarray, uv: jnp.ndarray):
+def get_albedo(scene: DeviceScene, mat_id: jnp.ndarray, uv: jnp.ndarray, obj=None, point=None):
+    """Material::GetAlbedo plus the reference's isAlbedoOverridden path
+    (renderer.cpp:32): PrimitiveScene walls override albedo procedurally."""
+    if isinstance(scene, prim_scene.PrimScene):
+        base = scene.materials.albedo[mat_id]
+        if obj is None or point is None:
+            return base
+        override = prim_scene.get_albedo_override(scene, obj, point)
+        overridden = (obj >= 4) & (obj <= 6)
+        return jnp.where(overridden[..., None], override, base)
     return mat_mod.get_albedo(
         scene.materials,
         scene.atlas,
@@ -206,9 +222,10 @@ def get_albedo(scene: DeviceScene, mat_id: jnp.ndarray, uv: jnp.ndarray):
 def sky_color(scene: DeviceScene, d: jnp.ndarray):
     """Equirect skydome sample, or black when the scene has none
     (primitive_scene.cpp:82-85)."""
-    if scene.skydome_tex < 0:
+    skydome = getattr(scene, "skydome_tex", -1)
+    if skydome < 0:
         return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
-    return tex_mod.sample_equirect(scene.atlas, scene.skydome_tex, d, scene.bilinear)
+    return tex_mod.sample_equirect(scene.atlas, skydome, d, scene.bilinear)
 
 
 def get_light_pos(scene: DeviceScene) -> jnp.ndarray:
