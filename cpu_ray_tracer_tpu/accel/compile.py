@@ -42,6 +42,14 @@ def make_triangle_pool(
         obj_id = np.full((n,), 2, np.int32)
     if mat_id is None:
         mat_id = np.zeros((n,), np.int32)
+    shade = np.zeros((n, 16), np.float32)
+    shade[:, 0:3] = tri_n[:, 0]
+    shade[:, 3:6] = tri_n[:, 1]
+    shade[:, 6:9] = tri_n[:, 2]
+    shade[:, 9:11] = tri_uv[:, 0]
+    shade[:, 11:13] = tri_uv[:, 1]
+    shade[:, 13:15] = tri_uv[:, 2]
+    shade[:, 15] = obj_id.astype(np.float32)
     return TrianglePool(
         v0=to_device_f32(v0),
         e1=to_device_f32(v1 - v0),
@@ -54,6 +62,7 @@ def make_triangle_pool(
         uv2=to_device_f32(tri_uv[:, 2]),
         obj_id=to_device_i32(obj_id),
         mat_id=to_device_i32(mat_id),
+        shade=to_device_f32(shade),
     )
 
 

@@ -40,6 +40,11 @@ class TrianglePool:
     uv2: jnp.ndarray
     obj_id: jnp.ndarray  # [N] int32 object id (>= 2 for mesh instances)
     mat_id: jnp.ndarray  # [N] int32 into the scene MaterialTable
+    # fused shading record [N, 16]: n0(3) n1(3) n2(3) uv0(2) uv1(2) uv2(2)
+    # obj(1) — ONE gather serves the whole hit-interpolation path (XLA TPU
+    # gathers are expensive; six separate [tid] gathers were the shading
+    # bottleneck)
+    shade: jnp.ndarray = None
 
     @property
     def count(self) -> int:

@@ -359,7 +359,15 @@ def traverse_sorted(
         mask = jnp.ones((r,), jnp.bool_)
     oct_ = ray_octants(d)
     key = jnp.where(mask, oct_, 8)  # dead rays last
-    perm = jnp.argsort(key, stable=True)
+    # stable counting sort over 9 buckets (cheaper than a full argsort):
+    # pos[i] = bucket_start[key[i]] + rank-within-bucket — which is also the
+    # inverse permutation, so only one scatter is needed.
+    oh = jax.nn.one_hot(key, 9, dtype=jnp.int32)
+    within = jnp.cumsum(oh, axis=0) - oh
+    counts = within[-1] + oh[-1]
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    pos = jnp.sum(oh * (starts[None, :] + within), axis=1)  # [R] inverse perm
+    perm = jnp.zeros((r,), jnp.int32).at[pos].set(jnp.arange(r, dtype=jnp.int32))
     res = traverse(
         pk,
         tris,
@@ -370,5 +378,4 @@ def traverse_sorted(
         any_hit=any_hit,
         interpret=interpret,
     )
-    inv = jnp.argsort(perm)
-    return {k: v[inv] for k, v in res.items()}
+    return {k: v[pos] for k, v in res.items()}

@@ -157,13 +157,21 @@ def interpolate_hit(tris: TrianglePool, tri_idx: jnp.ndarray, bary: jnp.ndarray)
 
     Parity: BVH::GetNormal/GetUV (infra/bvh.cpp:292-306) — N normalized
     after interpolation; callers flip backfaces.
+
+    Uses the fused [N, 16] shading record when present: ONE gather instead
+    of six (the gathers dominate shading cost on TPU).
     """
     tid = jnp.maximum(tri_idx, 0)
     w = (1.0 - bary[..., 0] - bary[..., 1])[..., None]
     bu = bary[..., 0:1]
     bv = bary[..., 1:2]
-    n = w * tris.n0[tid] + bu * tris.n1[tid] + bv * tris.n2[tid]
+    if tris.shade is not None:
+        rec = tris.shade[tid]  # [R, 16]
+        n = w * rec[..., 0:3] + bu * rec[..., 3:6] + bv * rec[..., 6:9]
+        uv = w * rec[..., 9:11] + bu * rec[..., 11:13] + bv * rec[..., 13:15]
+    else:
+        n = w * tris.n0[tid] + bu * tris.n1[tid] + bv * tris.n2[tid]
+        uv = w * tris.uv0[tid] + bu * tris.uv1[tid] + bv * tris.uv2[tid]
     sq = jnp.sum(n * n, axis=-1, keepdims=True)
     n = n * jax.lax.rsqrt(jnp.maximum(sq, np.float32(1e-20)))
-    uv = w * tris.uv0[tid] + bu * tris.uv1[tid] + bv * tris.uv2[tid]
     return n, uv

@@ -81,16 +81,21 @@ def sample_radiance(
 
         point = s["o"] + t[..., None] * s["d"]
         normal, uv, mat_id = query.get_hit_info(scene, res, point, s["d"])
+        mf = query.material_fields(scene, mat_id)
         albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point)
-        is_light = scene.materials.is_light[mat_id] & hit
+        is_light = mf["is_light"] & hit
         radiance = radiance + jnp.where(
             is_light[..., None], s["throughput"] * scene.light_color, 0.0
         )
         surf = hit & (~is_light)
 
-        refl = scene.materials.reflectivity[mat_id]
-        refr = scene.materials.refractivity[mat_id]
-        medium = common.beer(scene, mat_id, t, s["inside"])
+        refl = mf["reflectivity"]
+        refr = mf["refractivity"]
+        medium = jnp.where(
+            s["inside"][..., None],
+            jnp.exp(mf["absorption"] * (-t)[..., None]),
+            1.0,
+        )
 
         seed = s["seed"]
         seed, r_lobe = rng_mod.random_float(seed)

@@ -50,15 +50,18 @@ def _shade_level(
 
     point = o + t[..., None] * d
     normal, uv, mat_id = query.get_hit_info(scene, res, point, d)
+    mf = query.material_fields(scene, mat_id)
     albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point)
 
-    is_light = scene.materials.is_light[mat_id] & hit_mask
+    is_light = mf["is_light"] & hit_mask
     surf = hit_mask & (~is_light)
 
-    refl = scene.materials.reflectivity[mat_id]
-    refr = scene.materials.refractivity[mat_id]
+    refl = mf["reflectivity"]
+    refr = mf["refractivity"]
     diff = 1.0 - (refl + refr)
-    medium = common.beer(scene, mat_id, t, inside)
+    medium = jnp.where(
+        inside[..., None], jnp.exp(mf["absorption"] * (-t)[..., None]), 1.0
+    )
 
     # --- local radiance ---------------------------------------------------
     contrib = jnp.zeros(weight.shape, jnp.float32)

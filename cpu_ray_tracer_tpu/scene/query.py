@@ -199,6 +199,35 @@ def get_hit_info(scene: DeviceScene, hit: dict, point: jnp.ndarray, d: jnp.ndarr
     return normal, uv, mat_id
 
 
+def material_fields(scene, mat_id: jnp.ndarray):
+    """All per-ray material scalars in ONE one-hot matmul against the (tiny)
+    material table — replaces five separate [mat_id] gathers (XLA TPU
+    gathers cost ~10ms each at 1M rays; a [R, M] @ [M, 10] matmul is
+    effectively free on the MXU)."""
+    m = scene.materials
+    table = jnp.concatenate(
+        [
+            m.albedo,  # 0:3
+            m.reflectivity[:, None],  # 3
+            m.refractivity[:, None],  # 4
+            m.absorption,  # 5:8
+            m.is_light[:, None].astype(jnp.float32),  # 8
+            m.tex_id[:, None].astype(jnp.float32),  # 9
+        ],
+        axis=1,
+    )
+    oh = jax.nn.one_hot(mat_id, m.count, dtype=jnp.float32)
+    f = jnp.dot(oh, table, preferred_element_type=jnp.float32)
+    return dict(
+        albedo=f[..., 0:3],
+        reflectivity=f[..., 3],
+        refractivity=f[..., 4],
+        absorption=f[..., 5:8],
+        is_light=f[..., 8] > 0.5,
+        tex_id=jnp.round(f[..., 9]).astype(jnp.int32),
+    )
+
+
 def get_albedo(scene: DeviceScene, mat_id: jnp.ndarray, uv: jnp.ndarray, obj=None, point=None):
     """Material::GetAlbedo plus the reference's isAlbedoOverridden path
     (renderer.cpp:32): PrimitiveScene walls override albedo procedurally."""
