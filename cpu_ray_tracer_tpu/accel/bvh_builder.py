@@ -209,6 +209,26 @@ def build_bvh(
     return bvh, idx, stats
 
 
+def refit_bvh(host, tri_indices: np.ndarray, tri_v: np.ndarray) -> None:
+    """Bottom-up bounds refit after vertex motion, topology unchanged
+    (BVH::Refit, infra/bvh.cpp:26-43).  Node indices grow root->children, so
+    one reverse sweep sees children before parents.  Threaded links stay
+    valid (they encode topology, not bounds).  In-place on `host`."""
+    tmin = tri_v.min(axis=1)
+    tmax = tri_v.max(axis=1)
+    m = host.nodes_used
+    for node in range(m - 1, -1, -1):
+        c = host.tri_count[node]
+        if c > 0:
+            sl = tri_indices[host.left_first[node] : host.left_first[node] + c]
+            host.node_min[node] = tmin[sl].min(axis=0)
+            host.node_max[node] = tmax[sl].max(axis=0)
+        else:
+            li, ri = host.left[node], host.right[node]
+            host.node_min[node] = np.minimum(host.node_min[li], host.node_min[ri])
+            host.node_max[node] = np.maximum(host.node_max[li], host.node_max[ri])
+
+
 def thread_links(
     left: np.ndarray,
     right: np.ndarray,
