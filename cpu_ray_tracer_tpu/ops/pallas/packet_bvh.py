@@ -51,8 +51,10 @@ from cpu_ray_tracer_tpu.accel.pack import (
     TRIS_PER_ROW,
 )
 
-TILE = 1024  # rays per tile = (8, 128)
-TILE_SHAPE = (8, 128)
+import os as _os
+
+TILE = int(_os.environ.get("CRT_PACKET_TILE", "4096"))  # rays per tile
+TILE_SHAPE = (TILE // 128, 128)
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
 

@@ -64,9 +64,9 @@ def sample_radiance(
 
     nearest = query.find_nearest_diff if differentiable else query.find_nearest
 
-    def bounce(depth, s):
+    def bounce(depth, s, sort_rays=True):
         alive = s["alive"]
-        res = nearest(scene, s["o"], s["d"], mask=alive, sort_rays=True)
+        res = nearest(scene, s["o"], s["d"], mask=alive, sort_rays=sort_rays)
         t = res["t"]
         obj = res["obj_idx"]
         hit = (obj >= 0) & alive
@@ -144,7 +144,10 @@ def sample_radiance(
             tested=s["tested"] + res["tested"],
         )
 
-    state = jax.lax.fori_loop(0, depth_limit + 1, bounce, state)
+    # Unrolled bounce loop (depth_limit is small and static): primary rays
+    # are scanline-coherent, so the octant resort only runs for bounces >= 1.
+    for depth in range(depth_limit + 1):
+        state = bounce(depth, state, sort_rays=depth >= 1)
     return state["radiance"], dict(
         rays_traced=state["rays_traced"],
         traversed=state["traversed"],
