@@ -1,0 +1,92 @@
+"""Fine-grained PT pipeline profiling on the TPU (run exclusively!).
+
+Measures: per-bounce cost slope (depth_limit sweep), sort on/off, shading
+component split.  Prints timing lines; JSONL-friendly.
+"""
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+if os.path.isdir(os.path.join(REPO, ".jax_cache")):
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+
+from cpu_ray_tracer_tpu.core import camera as cam_mod
+from cpu_ray_tracer_tpu.render import pathtracer
+from cpu_ray_tracer_tpu.scene import query
+from cpu_ray_tracer_tpu.scene.build import compile_scene
+
+T0 = time.time()
+
+
+def log(*a):
+    print(round(time.time() - T0, 1), *a, flush=True)
+
+
+def timeit(name, f, *args, reps=3):
+    x = f(*args)
+    jax.block_until_ready(x)
+    ts = []
+    for _ in range(reps):
+        t = time.time()
+        x = f(*args)
+        jax.block_until_ready(x)
+        ts.append(time.time() - t)
+    log(name, round(min(ts) * 1000, 1), "ms")
+    return min(ts)
+
+
+def main():
+    scene, info = compile_scene(
+        os.path.join(REPO, "assets", "scenes", "bunny_teapot.xml"), layout="tlas"
+    )
+    cam = cam_mod.make_camera(1280, 720, pos=(0.0, 0.3, -1.2), target=(0.0, -0.1, 2.5))
+    log("setup", info.triangle_count, "tris")
+
+    # depth sweep: cost(d) - cost(d-1) = per-bounce marginal cost
+    times = {}
+    for dl in [0, 1, 2, 5]:
+        f = jax.jit(
+            lambda i, dl=dl: pathtracer.render_pass(scene, cam, i, depth_limit=dl)[0].sum()
+        )
+        times[dl] = timeit(f"pass depth_limit={dl}", f, jnp.uint32(0))
+    for a, b in [(0, 1), (1, 2), (2, 5)]:
+        per = (times[b] - times[a]) / (b - a)
+        log(f"marginal bounce cost {a}->{b}: {per*1000:.1f} ms")
+
+    # shading split: full shade vs no-gather shade vs sky only
+    rays = cam_mod.full_frame_rays(cam)
+    o, d = rays.o, rays.d
+    res = jax.jit(lambda o, d: query.find_nearest(scene, o, d))(o, d)
+    jax.block_until_ready(res)
+
+    def shade_full(res, o, d):
+        pt = o + res["t"][..., None] * d
+        nrm, uv, mid = query.get_hit_info(scene, res, pt, d)
+        mf = query.material_fields(scene, mid)
+        alb = query.get_albedo(scene, mid, uv)
+        sky = query.sky_color(scene, d)
+        return (alb + sky + nrm + mf["albedo"]).sum()
+
+    def shade_no_interp(res, o, d):
+        mid = res["mat_id_tri"]
+        mf = query.material_fields(scene, jnp.maximum(mid, 0))
+        sky = query.sky_color(scene, d)
+        return (sky + mf["albedo"]).sum()
+
+    def sky_only(d):
+        return query.sky_color(scene, d).sum()
+
+    timeit("shade full", jax.jit(shade_full), res, o, d)
+    timeit("shade no-interp", jax.jit(shade_no_interp), res, o, d)
+    timeit("sky only", jax.jit(sky_only), d)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,9 @@ class PackedBVH:
     slot_tri: jnp.ndarray  # [R_t * 8] i32 — slot -> pool triangle id (-1 pad)
     root: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)
+    # world bounds (host floats) for spatial ray-sort quantization
+    world_min: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
+    world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
 
 
 def pack_bvh(host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, miss) -> PackedBVH:
@@ -101,6 +104,8 @@ def pack_bvh(host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, mis
         slot_tri=jnp.asarray(slot_tri),
         root=0,
         num_nodes=m,
+        world_min=tuple(float(x) for x in host_bvh.node_min[0]),
+        world_max=tuple(float(x) for x in host_bvh.node_max[0]),
     )
 
 
@@ -124,7 +129,11 @@ def pack_host(
     magnitude slower than host->device on tunneled TPU runtimes.)"""
     view = HostBVHView(node_min.shape[0], node_min, node_max, left_first, tri_count)
     pk = pack_bvh(view, tri_indices, tri_v0, tri_e1, tri_e2, hit, miss)
-    return pk.replace(root=root)
+    return pk.replace(
+        root=root,
+        world_min=tuple(float(x) for x in node_min[root]),
+        world_max=tuple(float(x) for x in node_max[root]),
+    )
 
 
 def pack_from_arrays(bvh, tris) -> PackedBVH:

@@ -346,6 +346,7 @@ def traverse_sorted(
     mask: jnp.ndarray | None = None,
     any_hit: bool = False,
     interpret: bool = False,
+    spatial: bool = True,
 ):
     """traverse() behind a stable octant sort of the ray batch.
 
@@ -360,16 +361,41 @@ def traverse_sorted(
     if mask is None:
         mask = jnp.ones((r,), jnp.bool_)
     oct_ = ray_octants(d)
-    key = jnp.where(mask, oct_, 8)  # dead rays last
-    # stable counting sort over 9 buckets (cheaper than a full argsort):
-    # pos[i] = bucket_start[key[i]] + rank-within-bucket — which is also the
-    # inverse permutation, so only one scatter is needed.
-    oh = jax.nn.one_hot(key, 9, dtype=jnp.int32)
-    within = jnp.cumsum(oh, axis=0) - oh
-    counts = within[-1] + oh[-1]
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    pos = jnp.sum(oh * (starts[None, :] + within), axis=1)  # [R] inverse perm
-    perm = jnp.zeros((r,), jnp.int32).at[pos].set(jnp.arange(r, dtype=jnp.int32))
+    if spatial:
+        # (dead, origin Morton code, octant) sort key: bounce rays are
+        # incoherent in BOTH origin and direction; packet tiles built from
+        # origin-local, direction-similar rays visit far smaller node
+        # unions.  Costs one 32-bit argsort (device sort), repaid severalfold
+        # in traversal time on bounces >= 1.
+        wmin = jnp.asarray(pk.world_min, jnp.float32)
+        wext = jnp.asarray(pk.world_max, jnp.float32) - wmin
+        q = jnp.clip(
+            ((o - wmin) / jnp.maximum(wext, 1e-20)) * 127.0, 0.0, 127.0
+        ).astype(jnp.int32)  # 7 bits per axis
+
+        def spread3(v):
+            # interleave 7-bit value into every 3rd bit
+            v = (v | (v << 8)) & 0x0300F00F
+            v = (v | (v << 4)) & 0x030C30C3
+            v = (v | (v << 2)) & 0x09249249
+            return v
+
+        morton = spread3(q[..., 0]) | (spread3(q[..., 1]) << 1) | (spread3(q[..., 2]) << 2)
+        key = (morton << 3) | oct_
+        key = jnp.where(mask, key, jnp.int32(0x7FFFFFFF))  # dead rays last
+        perm = jnp.argsort(key)
+        pos = jnp.zeros((r,), jnp.int32).at[perm].set(jnp.arange(r, dtype=jnp.int32))
+    else:
+        key = jnp.where(mask, oct_, 8)  # dead rays last
+        # stable counting sort over 9 buckets (cheaper than a full argsort):
+        # pos[i] = bucket_start[key[i]] + rank-within-bucket — which is also
+        # the inverse permutation, so only one scatter is needed.
+        oh = jax.nn.one_hot(key, 9, dtype=jnp.int32)
+        within = jnp.cumsum(oh, axis=0) - oh
+        counts = within[-1] + oh[-1]
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+        pos = jnp.sum(oh * (starts[None, :] + within), axis=1)  # [R] inverse perm
+        perm = jnp.zeros((r,), jnp.int32).at[pos].set(jnp.arange(r, dtype=jnp.int32))
     res = traverse(
         pk,
         tris,
