@@ -26,6 +26,11 @@ class TextureAtlas:
     offset: jnp.ndarray  # [T] int32 start index into texels
     width: jnp.ndarray  # [T] int32
     height: jnp.ndarray  # [T] int32
+    # [K] uint32 0x00RRGGBB — the reference's own pixel format
+    # (texture.h:35).  Nearest-neighbor taps gather ONE scalar per ray and
+    # bit-unpack on the VPU: 3x less gather traffic than the [K, 3] rows
+    # (the skydome gather dominated shading cost on TPU).
+    packed: jnp.ndarray = None
 
     @property
     def count(self) -> int:
@@ -46,11 +51,15 @@ def build_atlas(images: list[np.ndarray]) -> TextureAtlas:
         heights.append(h)
         bufs.append(np.asarray(img, np.float32).reshape(h * w, 3))
         off += h * w
+    texels = np.concatenate(bufs, axis=0)
+    u8 = np.clip(np.round(texels * 255.0), 0, 255).astype(np.uint32)
+    packed = (u8[:, 0] << 16) | (u8[:, 1] << 8) | u8[:, 2]
     return TextureAtlas(
-        texels=jnp.asarray(np.concatenate(bufs, axis=0)),
+        texels=jnp.asarray(texels),
         offset=jnp.asarray(offsets, jnp.int32),
         width=jnp.asarray(widths, jnp.int32),
         height=jnp.asarray(heights, jnp.int32),
+        packed=jnp.asarray(packed),
     )
 
 
@@ -70,7 +79,20 @@ def sample_nearest(atlas: TextureAtlas, tex_id: jnp.ndarray, u: jnp.ndarray, v: 
     vv = 1.0 - jnp.clip(v, 0.0, 1.0)
     x = jnp.clip((uu * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((vv * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
-    texel = atlas.texels[off + x + y * w]
+    idx = off + x + y * w
+    if atlas.packed is not None:
+        p = atlas.packed[idx]
+        scale = np.float32(1.0 / 255.0)
+        texel = jnp.stack(
+            [
+                ((p >> 16) & 0xFF).astype(jnp.float32) * scale,
+                ((p >> 8) & 0xFF).astype(jnp.float32) * scale,
+                (p & 0xFF).astype(jnp.float32) * scale,
+            ],
+            axis=-1,
+        )
+    else:
+        texel = atlas.texels[idx]
     return jnp.where((tex_id >= 0)[..., None], texel, 0.0)
 
 
