@@ -60,6 +60,10 @@ def sample_radiance(
         rays_traced=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
         traversed=jnp.zeros((r,), jnp.int32),
         tested=jnp.zeros((r,), jnp.int32),
+        # deferred sky: a ray escapes at most once per path, so the (slow)
+        # equirect gather runs ONCE after the loop instead of every bounce
+        miss_d=d,
+        miss_tp=jnp.zeros((r, 3), jnp.float32),
     )
 
     nearest = query.find_nearest_diff if differentiable else query.find_nearest
@@ -72,10 +76,10 @@ def sample_radiance(
         hit = (obj >= 0) & alive
         miss = (~(obj >= 0)) & alive
 
-        radiance = s["radiance"] + jnp.where(
-            miss[..., None], s["throughput"] * query.sky_color(scene, s["d"]), 0.0
-        )
-        # depth cutoff AFTER the miss/sky add (renderer.cpp:52-55)
+        miss_d = jnp.where(miss[..., None], s["d"], s["miss_d"])
+        miss_tp = jnp.where(miss[..., None], s["throughput"], s["miss_tp"])
+        radiance = s["radiance"]
+        # depth cutoff AFTER the miss/sky record (renderer.cpp:52-55)
         past_limit = depth >= depth_limit
         hit = hit & (~past_limit)
 
@@ -142,13 +146,16 @@ def sample_radiance(
             rays_traced=s["rays_traced"] + alive.astype(jnp.int32).sum(),
             traversed=s["traversed"] + res["traversed"],
             tested=s["tested"] + res["tested"],
+            miss_d=miss_d,
+            miss_tp=miss_tp,
         )
 
     # Unrolled bounce loop (depth_limit is small and static): primary rays
     # are scanline-coherent, so the octant resort only runs for bounces >= 1.
     for depth in range(depth_limit + 1):
         state = bounce(depth, state, sort_rays=depth >= 1)
-    return state["radiance"], dict(
+    radiance = state["radiance"] + state["miss_tp"] * query.sky_color(scene, state["miss_d"])
+    return radiance, dict(
         rays_traced=state["rays_traced"],
         traversed=state["traversed"],
         tested=state["tested"],
