@@ -45,6 +45,9 @@ class PackedBVH:
     node_rows: jnp.ndarray  # [8, R_n, 128] f32 — per-octant node records
     tri_rows: jnp.ndarray  # [R_t, 128] f32 — leaf triangle records
     slot_tri: jnp.ndarray  # [R_t * 8] i32 — slot -> pool triangle id (-1 pad)
+    # [R_t * 8] i32: tri(20 bits) | obj(6) << 20 | mat(6) << 26, -1 pad —
+    # ONE gather recovers all three hit ids (gathers cost ~per-index on TPU)
+    slot_meta: jnp.ndarray = None
     root: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)
     # world bounds (host floats) for spatial ray-sort quantization
@@ -123,17 +126,34 @@ class HostBVHView:
 def pack_host(
     node_min, node_max, left_first, tri_count,
     tri_indices, tri_v0, tri_e1, tri_e2, hit, miss, root: int,
+    obj_id=None, mat_id=None,
 ) -> PackedBVH:
     """Pack from HOST numpy arrays — the path the scene compiler uses.
     (Never pull device arrays back: device->host transfers can be orders of
     magnitude slower than host->device on tunneled TPU runtimes.)"""
     view = HostBVHView(node_min.shape[0], node_min, node_max, left_first, tri_count)
     pk = pack_bvh(view, tri_indices, tri_v0, tri_e1, tri_e2, hit, miss)
-    return pk.replace(
+    pk = pk.replace(
         root=root,
         world_min=tuple(float(x) for x in node_min[root]),
         world_max=tuple(float(x) for x in node_max[root]),
     )
+    if obj_id is not None and mat_id is not None:
+        pk = pk.replace(slot_meta=make_slot_meta(np.asarray(pk.slot_tri), obj_id, mat_id))
+    return pk
+
+
+def make_slot_meta(slot_tri: np.ndarray, obj_id: np.ndarray, mat_id: np.ndarray):
+    """Fused slot -> (tri, obj, mat) table; falls back to None when ids
+    exceed the packed field widths (20/6/6 bits)."""
+    n = obj_id.shape[0]
+    if n >= (1 << 20) or obj_id.max(initial=0) >= (1 << 6) or mat_id.max(initial=0) >= (1 << 6):
+        return None
+    meta = np.full(slot_tri.shape, -1, np.int32)
+    valid = slot_tri >= 0
+    t = slot_tri[valid]
+    meta[valid] = t | (obj_id[t].astype(np.int32) << 20) | (mat_id[t].astype(np.int32) << 26)
+    return jnp.asarray(meta)
 
 
 def pack_from_arrays(bvh, tris) -> PackedBVH:

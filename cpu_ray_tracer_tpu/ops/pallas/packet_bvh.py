@@ -323,15 +323,24 @@ def traverse(
     u = unpad(u)
     v = unpad(v)
     slot = unpad(slot)
-    tri_idx = jnp.where(slot >= 0, pk.slot_tri[jnp.maximum(slot, 0)], -1)
-    found = tri_idx >= 0
-    tri_safe = jnp.maximum(tri_idx, 0)
+    if pk.slot_meta is not None:
+        meta = pk.slot_meta[jnp.maximum(slot, 0)]
+        found = (slot >= 0) & (meta >= 0)
+        tri_idx = jnp.where(found, meta & 0xFFFFF, -1)
+        obj_id = jnp.where(found, (meta >> 20) & 0x3F, -1)
+        mat_id = jnp.where(found, (meta >> 26) & 0x3F, -1)
+    else:
+        tri_idx = jnp.where(slot >= 0, pk.slot_tri[jnp.maximum(slot, 0)], -1)
+        found = tri_idx >= 0
+        tri_safe = jnp.maximum(tri_idx, 0)
+        obj_id = jnp.where(found, tris.obj_id[tri_safe], -1)
+        mat_id = jnp.where(found, tris.mat_id[tri_safe], -1)
     return dict(
         t=t,
         bary=jnp.stack([u, v], axis=-1),
         tri_idx=tri_idx,
-        obj_id=jnp.where(found, tris.obj_id[tri_safe], -1),
-        mat_id=jnp.where(found, tris.mat_id[tri_safe], -1),
+        obj_id=obj_id,
+        mat_id=mat_id,
         traversed=unpad(trav),
         tested=unpad(test),
     )

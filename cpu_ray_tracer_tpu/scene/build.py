@@ -250,6 +250,8 @@ def compile_scene(
             host_pack["left_first"], host_pack["tri_count"],
             host_pack["tri_indices"], v0h, all_v[:, 1] - v0h, all_v[:, 2] - v0h,
             host_pack["hit"], host_pack["miss"], host_pack["root"],
+            obj_id=np.concatenate(inst_obj, axis=0),
+            mat_id=np.concatenate(inst_mat, axis=0),
         )
 
     scene = DeviceScene(
