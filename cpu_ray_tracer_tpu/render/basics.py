@@ -44,3 +44,18 @@ def render(scene: DeviceScene, camera: cam_mod.Camera, aov: str = "albedo"):
 
 
 render_jit = jax.jit(render, static_argnames=("aov",))
+
+
+def probe(scene: DeviceScene, camera: cam_mod.Camera, x: float, y: float) -> dict:
+    """Single-ray scene query at pixel (x, y) — the reference's ImGui
+    "object id under the mouse" readout (2. WhittedStyle/renderer.cpp:215-217).
+    Returns python scalars: obj_idx, tri_idx, t."""
+    import jax.numpy as jnp
+
+    rays = cam_mod.primary_rays(camera, jnp.asarray([float(x)]), jnp.asarray([float(y)]))
+    res = query.find_nearest(scene, rays.o, rays.d)
+    return dict(
+        obj_idx=int(res["obj_idx"][0]),
+        tri_idx=int(res["tri_idx"][0]),
+        t=float(res["t"][0]),
+    )

@@ -233,3 +233,32 @@ class TestMaterialsFilm:
 
     def test_multi_device_visible(self):
         assert len(jax.devices()) == 8
+
+
+class TestCameraInput:
+    def test_handle_input_moves_forward(self):
+        cam = cam_mod.make_camera(64, 32, pos=(0, 0, -2), target=(0, 0, -1))
+        cam2 = cam_mod.handle_input(cam, dt_ms=1000.0, move=(0, 0, 1))
+        # W moves along +z here; reference scale 0.00025*1000*5*2 = 2.5
+        np.testing.assert_allclose(np.asarray(cam2.pos), [0, 0, 0.5], atol=1e-5)
+
+    def test_handle_input_turn_changes_target(self):
+        cam = cam_mod.make_camera(64, 32)
+        cam2 = cam_mod.handle_input(cam, dt_ms=1000.0, turn=(1, 0))
+        assert not np.allclose(np.asarray(cam2.target), np.asarray(cam.target))
+
+
+class TestProbe:
+    def test_probe_returns_ids(self):
+        import os
+        from cpu_ray_tracer_tpu.render.basics import probe
+        from cpu_ray_tracer_tpu.scene.build import compile_scene
+        from tests.conftest import OUR_ASSETS
+
+        scene, _ = compile_scene(
+            os.path.join(OUR_ASSETS, "scenes", "cube_scene.xml"), layout="tlas"
+        )
+        cam = cam_mod.make_camera(64, 40)
+        hit = probe(scene, cam, 32, 20)  # center: the cube
+        assert hit["obj_idx"] == 2
+        assert hit["t"] > 0
