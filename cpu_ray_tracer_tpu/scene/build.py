@@ -97,7 +97,10 @@ def compile_scene(
     if parity:
         use_pallas = False  # keep the reference-exact code path
     if leaf_target is None and use_pallas:
-        leaf_target = 8  # one packed triangle row per leaf
+        import os as _os
+
+        # default: one packed triangle row per leaf; sweepable via env
+        leaf_target = int(_os.environ.get("CRT_LEAF_TARGET", "24"))
     if spec is None:
         spec = load_scene_xml(xml_path)
     xml_dir = spec.xml_dir
