@@ -53,7 +53,7 @@ from cpu_ray_tracer_tpu.accel.pack import (
 
 import os as _os
 
-TILE = int(_os.environ.get("CRT_PACKET_TILE", "4096"))  # rays per tile
+TILE = int(_os.environ.get("CRT_PACKET_TILE", "8192"))  # rays per tile
 TILE_SHAPE = (TILE // 128, 128)
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
