@@ -67,8 +67,8 @@ def config2(small):
         plane_texture_location="../assets/textures/Stylized_Pavement_basecolor.png",
         skydome_location="../assets/industrial_sunset_puresky_4k.hdr",
         objects=[
-            ObjectSpec("../assets/teapot.obj", 0, np.array([0, -0.5, 2.2], np.float32),
-                       np.zeros(3, np.float32), np.array([0.5, 0.5, 0.5], np.float32))
+            ObjectSpec("../assets/teapot.obj", 0, np.array([0, -1.0, 2.2], np.float32),
+                       np.zeros(3, np.float32), np.array([1.2, 1.2, 1.2], np.float32))
         ],
         materials=[MaterialSpec(0.8, 0.0, np.zeros(3, np.float32), "")],
         xml_dir=OUR,
@@ -99,10 +99,10 @@ def config3(small):
         plane_texture_location="../assets/textures/log_fence.png",
         skydome_location="../assets/industrial_sunset_puresky_4k.hdr",
         objects=[
-            ObjectSpec("../assets/bunny.obj", 0, np.array([-0.5, -0.7, 2.0], np.float32),
-                       np.array([0, 180, 0], np.float32), np.array([7, 7, 7], np.float32)),
-            ObjectSpec("../assets/bunny.obj", 1, np.array([0.7, -0.7, 2.4], np.float32),
-                       np.array([0, 160, 0], np.float32), np.array([7, 7, 7], np.float32)),
+            ObjectSpec("../assets/bunny.obj", 0, np.array([-0.5, -1.0, 2.0], np.float32),
+                       np.array([0, 180, 0], np.float32), np.array([0.6, 0.6, 0.6], np.float32)),
+            ObjectSpec("../assets/bunny.obj", 1, np.array([0.7, -1.0, 2.4], np.float32),
+                       np.array([0, 160, 0], np.float32), np.array([0.6, 0.6, 0.6], np.float32)),
         ],
         materials=[
             MaterialSpec(0.0, 0.0, np.zeros(3, np.float32), ""),
