@@ -220,7 +220,7 @@ class TestMaterialsFilm:
             )
         )
         np.testing.assert_allclose(rgb[0], (0.9, 0.8, 0.7), atol=1e-6)
-        np.testing.assert_allclose(rgb[1], (0.25, 0.25, 0.25), atol=1e-6)
+        np.testing.assert_allclose(rgb[1], (0.25, 0.25, 0.25), atol=1 / 255)
 
     def test_film_accumulate_and_tonemap(self):
         f = film_mod.make_film(4, 4)
