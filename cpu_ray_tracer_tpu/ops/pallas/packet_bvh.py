@@ -55,6 +55,7 @@ import os as _os
 
 TILE = int(_os.environ.get("CRT_PACKET_TILE", "8192"))  # rays per tile
 TILE_SHAPE = (TILE // 128, 128)
+UNROLL = int(_os.environ.get("CRT_PACKET_UNROLL", "2"))  # node steps per loop iter
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
 
@@ -98,10 +99,15 @@ def _kernel(
             go = go & jnp.any(need)
         return go
 
-    def body(c):
+    def step(c):
         cur, t, u, v, slot, trav, test, steps, need = c
-        r = cur // NODES_PER_ROW
-        sub = cur % NODES_PER_ROW
+        # safe when cur < 0 (parked): the unrolled second step may be
+        # executed predicated on TPU, so reads must stay in bounds and
+        # state must not advance
+        active = cur >= 0
+        node = jnp.maximum(cur, 0)
+        r = node // NODES_PER_ROW
+        sub = node % NODES_PER_ROW
         row = nodes_ref[o8, pl.ds(r, 1), :]  # (1, 128)
         rec = _select_record(row, sub, NODES_PER_ROW, NODE_F)  # (1, 16)
         bminx, bminy, bminz = rec[0, F_BMIN], rec[0, F_BMIN + 1], rec[0, F_BMIN + 2]
@@ -125,14 +131,14 @@ def _kernel(
         tz2 = (bmaxz - oz) * rdz
         tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
         tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
-        lane_hit = (tmax >= tmin) & (tmin < t) & (tmax > 0.0) & mask
+        lane_hit = (tmax >= tmin) & (tmin < t) & (tmax > 0.0) & mask & active
         if any_hit:
             lane_hit = lane_hit & need
         n_hit = jnp.sum(lane_hit.astype(jnp.int32))
         any_lane = n_hit > 0
         is_leaf = cnt > 0
 
-        trav = trav + jnp.where(mask, 1, 0)
+        trav = trav + jnp.where(mask & active, 1, 0)
 
         def leaf_tests(args):
             t, u, v, slot, test = args
@@ -186,10 +192,17 @@ def _kernel(
         )
 
         descend = any_lane & (~is_leaf)
-        cur = jnp.where(descend, hit_link, miss_link)
+        cur = jnp.where(active, jnp.where(descend, hit_link, miss_link), cur)
         if any_hit:
             need = need & (slot < 0)
         return cur, t, u, v, slot, trav, test, steps + 1, need
+
+    def body(c):
+        # unrolled: halves/quarters while_loop bookkeeping per node step (the
+        # kernel is scalar-step bound); `step` is a no-op on a parked cursor.
+        for _ in range(UNROLL):
+            c = step(c)
+        return c
 
     t0 = t0_ref[0]
     init = (
