@@ -200,7 +200,10 @@ def _kernel(
     def body(c):
         # unrolled: halves/quarters while_loop bookkeeping per node step (the
         # kernel is scalar-step bound); `step` is a no-op on a parked cursor.
-        for _ in range(UNROLL):
+        # NOTE: the any-hit variant keeps unroll 1 — its extra `need` carry
+        # trips Mosaic layout inference ("failed to legalize scf.yield")
+        # when the body is unrolled on this toolchain.
+        for _ in range(1 if any_hit else UNROLL):
             c = step(c)
         return c
 
