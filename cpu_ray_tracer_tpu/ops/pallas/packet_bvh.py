@@ -93,14 +93,17 @@ def _kernel(
     mask = mask_ref[0] > 0.5
 
     def cond(c):
-        cur, t, u, v, slot, trav, test, steps, need = c
+        cur, t, u, v, slot, trav, test, steps = c
         go = (cur >= 0) & (steps < max_steps)
         if any_hit:
-            go = go & jnp.any(need)
+            # a lane still "needs" traversal while it has no hit; derived
+            # from `slot` so no extra bool carry (Mosaic layout bug with i1
+            # carries in unrolled while bodies)
+            go = go & (jnp.sum((mask & (slot < 0)).astype(jnp.int32)) > 0)
         return go
 
     def step(c):
-        cur, t, u, v, slot, trav, test, steps, need = c
+        cur, t, u, v, slot, trav, test, steps = c
         # safe when cur < 0 (parked): the unrolled second step may be
         # executed predicated on TPU, so reads must stay in bounds and
         # state must not advance
@@ -133,7 +136,7 @@ def _kernel(
         tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
         lane_hit = (tmax >= tmin) & (tmin < t) & (tmax > 0.0) & mask & active
         if any_hit:
-            lane_hit = lane_hit & need
+            lane_hit = lane_hit & (slot < 0)
         n_hit = jnp.sum(lane_hit.astype(jnp.int32))
         any_lane = n_hit > 0
         is_leaf = cnt > 0
@@ -193,9 +196,7 @@ def _kernel(
 
         descend = any_lane & (~is_leaf)
         cur = jnp.where(active, jnp.where(descend, hit_link, miss_link), cur)
-        if any_hit:
-            need = need & (slot < 0)
-        return cur, t, u, v, slot, trav, test, steps + 1, need
+        return cur, t, u, v, slot, trav, test, steps + 1
 
     def body(c):
         # unrolled: halves/quarters while_loop bookkeeping per node step (the
@@ -217,9 +218,8 @@ def _kernel(
         jnp.zeros(TILE_SHAPE, jnp.int32),
         jnp.zeros(TILE_SHAPE, jnp.int32),
         jnp.int32(0),
-        mask,  # `need` for any-hit early out
     )
-    cur, t, u, v, slot, trav, test, steps, need = jax.lax.while_loop(cond, body, init)
+    cur, t, u, v, slot, trav, test, steps = jax.lax.while_loop(cond, body, init)
     t_ref[0] = t
     u_ref[0] = u
     v_ref[0] = v
