@@ -107,5 +107,6 @@ if __name__ == "__main__":
     save(sunset_sky(), os.path.join(ASSETS, "industrial_sunset_puresky_4k.png"))
     save(wood_grain(), os.path.join(ASSETS, "textures", "log_fence.png"))
     save(ceramic(), os.path.join(ASSETS, "textures", "urna.jpg"))
+    save(wood_grain(256, 256, seed=21), os.path.join(ASSETS, "textures", "T_Trim_01_BaseColor.png"))
     urn_obj(os.path.join(ASSETS, "urna.obj"))
     print("done")
