@@ -11,9 +11,18 @@ Estimator parity (renderer.cpp:84-99):
   r < refl + refr -> dielectric (stochastic Fresnel choice); else diffuse;
 * diffuse bounce: uniform-hemisphere direction, estimator
   brdf * 2pi * cos(R, N);
-* miss -> skydome BEFORE the depth check; light hit -> light color;
+* miss -> skydome BEFORE the depth check; light hit -> light color (the sky
+  gather itself is deferred to one post-loop pass — a ray escapes at most
+  once);
 * Beer absorption while inside; fresh rays reset `inside` except the
   refracted child (template/ray.h default — reference behavior kept).
+
+Wavefront compaction: before every bounce >= 1 the ray state is globally
+re-sorted by (terminated-last, origin Morton code, direction octant) and
+processed in CHUNKS; a chunk whose slots lie wholly beyond the live-ray
+count is skipped with `lax.cond` — real, unbiased work skipping (XLA
+branches at runtime), adaptive to how fast paths terminate.  The sort also
+feeds the Pallas packet kernel direction/locality-coherent tiles.
 
 RNG: stateless per-ray xorshift32 streams (core/rng.py) seeded by
 (pixel, sample) — the vectorizable replacement for the reference's per-tile
@@ -28,11 +37,41 @@ import jax.numpy as jnp
 from cpu_ray_tracer_tpu import constants
 from cpu_ray_tracer_tpu.core import camera as cam_mod
 from cpu_ray_tracer_tpu.core import rng as rng_mod
+from cpu_ray_tracer_tpu.ops.traverse_bvh import ray_octants
 from cpu_ray_tracer_tpu.render import common
 from cpu_ray_tracer_tpu.scene import query
 from cpu_ray_tracer_tpu.scene.types import DeviceScene
 
 EPS = constants.SHADE_EPS
+
+# per-ray state keys permuted by the compaction sort
+_RAY_KEYS = (
+    "o", "d", "seed", "throughput", "radiance", "inside", "alive",
+    "traversed", "tested", "miss_d", "miss_tp", "pixel",
+)
+
+
+def _compaction_perm(scene: DeviceScene, o, d, alive):
+    """Sort key: (dead-last, origin Morton, direction octant)."""
+    root = getattr(scene, "bvh", None)
+    oct_ = ray_octants(d)
+    if root is not None:
+        wmin = scene.bvh.node_min[scene.bvh.root]
+        wext = jnp.maximum(scene.bvh.node_max[scene.bvh.root] - wmin, 1e-20)
+        q = jnp.clip(((o - wmin) / wext) * 127.0, 0.0, 127.0).astype(jnp.int32)
+
+        def spread3(v):
+            v = (v | (v << 8)) & 0x0300F00F
+            v = (v | (v << 4)) & 0x030C30C3
+            v = (v | (v << 2)) & 0x09249249
+            return v
+
+        morton = spread3(q[..., 0]) | (spread3(q[..., 1]) << 1) | (spread3(q[..., 2]) << 2)
+        key = (morton << 3) | oct_
+    else:
+        key = oct_
+    key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
+    return jnp.argsort(key)
 
 
 def sample_radiance(
@@ -42,13 +81,17 @@ def sample_radiance(
     seeds: jnp.ndarray,
     depth_limit: int = constants.DEPTH_LIMIT,
     differentiable: bool = False,
+    compaction_chunks: int | None = None,
 ):
     """Estimate radiance along rays (o, d) [R, 3] with per-ray uint32 seeds.
 
-    Returns (radiance [R, 3], stats dict with per-segment traversal counters
-    summed over bounces).
-    """
+    Returns (radiance [R, 3] in the INPUT ray order, stats dict).
+    `compaction_chunks`: chunks per bounce >= 1 (default 4 when divisible;
+    1 disables skipping)."""
     r = o.shape[0]
+    if compaction_chunks is None:
+        compaction_chunks = 4 if r % 4 == 0 and r >= 4096 else 1
+
     state = dict(
         o=o,
         d=d,
@@ -57,20 +100,20 @@ def sample_radiance(
         radiance=jnp.zeros((r, 3), jnp.float32),
         inside=jnp.zeros((r,), jnp.bool_),
         alive=jnp.ones((r,), jnp.bool_),
-        rays_traced=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
         traversed=jnp.zeros((r,), jnp.int32),
         tested=jnp.zeros((r,), jnp.int32),
-        # deferred sky: a ray escapes at most once per path, so the (slow)
-        # equirect gather runs ONCE after the loop instead of every bounce
+        # deferred sky (see module docstring)
         miss_d=d,
         miss_tp=jnp.zeros((r, 3), jnp.float32),
+        pixel=jnp.arange(r, dtype=jnp.int32),
     )
 
     nearest = query.find_nearest_diff if differentiable else query.find_nearest
 
-    def bounce(depth, s, sort_rays=True):
+    def bounce(depth, s):
+        """Advance every ray in `s` one path segment (any batch size)."""
         alive = s["alive"]
-        res = nearest(scene, s["o"], s["d"], mask=alive, sort_rays=sort_rays)
+        res = nearest(scene, s["o"], s["d"], mask=alive, sort_rays=False)
         t = res["t"]
         obj = res["obj_idx"]
         hit = (obj >= 0) & alive
@@ -143,22 +186,52 @@ def sample_radiance(
             radiance=radiance,
             inside=inside,
             alive=surf,
-            rays_traced=s["rays_traced"] + alive.astype(jnp.int32).sum(),
             traversed=s["traversed"] + res["traversed"],
             tested=s["tested"] + res["tested"],
             miss_d=miss_d,
             miss_tp=miss_tp,
+            pixel=s["pixel"],
         )
 
-    # Unrolled bounce loop (depth_limit is small and static): primary rays
-    # are scanline-coherent, so the octant resort only runs for bounces >= 1.
-    for depth in range(depth_limit + 1):
-        state = bounce(depth, state, sort_rays=depth >= 1)
+    rays_traced = jnp.int32(r)
+    state = bounce(0, state)
+
+    chunk = r // compaction_chunks
+    for depth in range(1, depth_limit + 1):
+        n_alive = jnp.sum(state["alive"].astype(jnp.int32))
+        rays_traced = rays_traced + n_alive
+        perm = _compaction_perm(scene, state["o"], state["d"], state["alive"])
+        state = {k: state[k][perm] for k in _RAY_KEYS}
+        if compaction_chunks == 1:
+            state = bounce(depth, state)
+            continue
+        pieces = []
+        for c in range(compaction_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            piece = {k: state[k][sl] for k in _RAY_KEYS}
+            # the sort parks dead rays at the tail: a chunk whose first slot
+            # is past the live count is a no-op — skip it entirely
+            pieces.append(
+                jax.lax.cond(
+                    n_alive > c * chunk,
+                    lambda p, depth=depth: bounce(depth, p),
+                    lambda p: p,
+                    piece,
+                )
+            )
+        state = {
+            k: jnp.concatenate([p[k] for p in pieces], axis=0) for k in _RAY_KEYS
+        }
+
     radiance = state["radiance"] + state["miss_tp"] * query.sky_color(scene, state["miss_d"])
-    return radiance, dict(
-        rays_traced=state["rays_traced"],
-        traversed=state["traversed"],
-        tested=state["tested"],
+    # un-permute to the caller's ray order
+    out = jnp.zeros((r, 3), jnp.float32).at[state["pixel"]].set(radiance)
+    traversed = jnp.zeros((r,), jnp.int32).at[state["pixel"]].set(state["traversed"])
+    tested = jnp.zeros((r,), jnp.int32).at[state["pixel"]].set(state["tested"])
+    return out, dict(
+        rays_traced=rays_traced,
+        traversed=traversed,
+        tested=tested,
     )
 
 
