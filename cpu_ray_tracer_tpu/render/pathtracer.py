@@ -51,6 +51,43 @@ _RAY_KEYS = (
 )
 
 
+def _permute_state(state: dict, perm: jnp.ndarray) -> dict:
+    """Apply one permutation to the whole per-ray state with a SINGLE gather:
+    all fields are packed (ints bitcast to f32 — a gather only moves bytes)
+    into one [R, 24] array, gathered once, then split back.  TPU gathers
+    cost ~per-index, so one 24-lane gather beats twelve 1-3-lane ones."""
+    bc = jax.lax.bitcast_convert_type
+    cols = [
+        state["o"],  # 0:3
+        state["d"],  # 3:6
+        state["throughput"],  # 6:9
+        state["radiance"],  # 9:12
+        state["miss_d"],  # 12:15
+        state["miss_tp"],  # 15:18
+        bc(state["seed"], jnp.float32)[..., None],  # 18
+        bc(state["inside"].astype(jnp.int32), jnp.float32)[..., None],  # 19
+        bc(state["alive"].astype(jnp.int32), jnp.float32)[..., None],  # 20
+        bc(state["traversed"], jnp.float32)[..., None],  # 21
+        bc(state["tested"], jnp.float32)[..., None],  # 22
+        bc(state["pixel"], jnp.float32)[..., None],  # 23
+    ]
+    packed = jnp.concatenate(cols, axis=1)[perm]
+    return dict(
+        o=packed[:, 0:3],
+        d=packed[:, 3:6],
+        throughput=packed[:, 6:9],
+        radiance=packed[:, 9:12],
+        miss_d=packed[:, 12:15],
+        miss_tp=packed[:, 15:18],
+        seed=bc(packed[:, 18], jnp.uint32),
+        inside=bc(packed[:, 19], jnp.int32) > 0,
+        alive=bc(packed[:, 20], jnp.int32) > 0,
+        traversed=bc(packed[:, 21], jnp.int32),
+        tested=bc(packed[:, 22], jnp.int32),
+        pixel=bc(packed[:, 23], jnp.int32),
+    )
+
+
 def _compaction_perm(scene: DeviceScene, o, d, alive):
     """Sort key: (dead-last, origin Morton, direction octant)."""
     root = getattr(scene, "bvh", None)
@@ -201,7 +238,7 @@ def sample_radiance(
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))
         rays_traced = rays_traced + n_alive
         perm = _compaction_perm(scene, state["o"], state["d"], state["alive"])
-        state = {k: state[k][perm] for k in _RAY_KEYS}
+        state = _permute_state(state, perm)
         if compaction_chunks == 1:
             state = bounce(depth, state)
             continue
