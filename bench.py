@@ -46,23 +46,25 @@ def main():
     # NOTE: only scalar reductions cross the device boundary — tunneled TPU
     # device->host reads of full images are prohibitively slow.  One jitted
     # program per progressive pass (a single fused many-pass program runs
-    # long enough to trip the device executor watchdog).
+    # long enough to trip the device executor watchdog).  The scene is a jit
+    # ARGUMENT, not a closure: closed-over scenes become inlined constants,
+    # bloating the program to ~10MB MLIR and compile times to minutes.
     @jax.jit
-    def one_pass(film, nrays, spp_idx):
+    def one_pass(scene, film, nrays, spp_idx):
         img, stats = pathtracer.render_pass(scene, camera, spp_idx)
         return film + img, nrays + stats["rays_traced"].astype(jnp.float32)
 
     film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
     nrays = jnp.float32(0.0)
     # warmup / compile
-    film, nrays = one_pass(film, nrays, jnp.uint32(0))
+    film, nrays = one_pass(scene, film, nrays, jnp.uint32(0))
     film.block_until_ready()
     film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
     nrays = jnp.float32(0.0)
 
     t0 = time.perf_counter()
     for p in range(spp):
-        film, nrays = one_pass(film, nrays, jnp.uint32(p + 1))
+        film, nrays = one_pass(scene, film, nrays, jnp.uint32(p + 1))
     energy = jnp.sum(film)
     energy.block_until_ready()
     dt = time.perf_counter() - t0

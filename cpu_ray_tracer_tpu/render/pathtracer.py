@@ -160,8 +160,9 @@ def sample_radiance(
         miss_tp = jnp.where(miss[..., None], s["throughput"], s["miss_tp"])
         radiance = s["radiance"]
         # depth cutoff AFTER the miss/sky record (renderer.cpp:52-55)
-        past_limit = depth >= depth_limit
-        hit = hit & (~past_limit)
+        # (jnp ops: python `~False` is -2 and would int-promote the mask)
+        past_limit = jnp.asarray(depth >= depth_limit)
+        hit = jnp.logical_and(hit, jnp.logical_not(past_limit))
 
         point = s["o"] + t[..., None] * s["d"]
         normal, uv, mat_id = query.get_hit_info(scene, res, point, s["d"])
@@ -233,32 +234,47 @@ def sample_radiance(
     rays_traced = jnp.int32(r)
     state = bounce(0, state)
 
+    # Bounces 1..depth_limit as a scan over depth, each a scan over chunks:
+    # `bounce` is traced exactly twice (full-width + chunk-width), keeping
+    # the program (and its Mosaic kernel count) small — a python-unrolled
+    # version compiled 20+ identical pallas kernels and took minutes.
     chunk = r // compaction_chunks
-    for depth in range(1, depth_limit + 1):
+
+    def depth_body(carry, depth):
+        state, rays_traced = carry
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))
         rays_traced = rays_traced + n_alive
         perm = _compaction_perm(scene, state["o"], state["d"], state["alive"])
         state = _permute_state(state, perm)
-        if compaction_chunks == 1:
-            state = bounce(depth, state)
-            continue
-        pieces = []
-        for c in range(compaction_chunks):
-            sl = slice(c * chunk, (c + 1) * chunk)
-            piece = {k: state[k][sl] for k in _RAY_KEYS}
-            # the sort parks dead rays at the tail: a chunk whose first slot
-            # is past the live count is a no-op — skip it entirely
-            pieces.append(
-                jax.lax.cond(
-                    n_alive > c * chunk,
-                    lambda p, depth=depth: bounce(depth, p),
-                    lambda p: p,
-                    piece,
-                )
-            )
-        state = {
-            k: jnp.concatenate([p[k] for p in pieces], axis=0) for k in _RAY_KEYS
+        chunked = {
+            k: state[k].reshape(compaction_chunks, chunk, *state[k].shape[1:])
+            for k in _RAY_KEYS
         }
+
+        def chunk_body(_, inp):
+            piece, cidx = inp
+            # the sort parks dead rays at the tail: a chunk whose slots lie
+            # wholly past the live count is a no-op — skip it entirely
+            out = jax.lax.cond(
+                n_alive > cidx * chunk,
+                lambda p: bounce(depth, p),
+                lambda p: p,
+                piece,
+            )
+            return None, out
+
+        _, chunked = jax.lax.scan(
+            chunk_body, None, (chunked, jnp.arange(compaction_chunks))
+        )
+        state = {
+            k: chunked[k].reshape(r, *chunked[k].shape[2:]) for k in _RAY_KEYS
+        }
+        return (state, rays_traced), None
+
+    if depth_limit >= 1:
+        (state, rays_traced), _ = jax.lax.scan(
+            depth_body, (state, rays_traced), jnp.arange(1, depth_limit + 1)
+        )
 
     radiance = state["radiance"] + state["miss_tp"] * query.sky_color(scene, state["miss_d"])
     # un-permute to the caller's ray order
