@@ -125,9 +125,12 @@ def sample_radiance(
     Returns (radiance [R, 3] in the INPUT ray order, stats dict).
     `compaction_chunks`: chunks per bounce >= 1 (default 4 when divisible;
     1 disables skipping)."""
+    import os as _os
+
     r = o.shape[0]
     if compaction_chunks is None:
-        compaction_chunks = 4 if r % 4 == 0 and r >= 4096 else 1
+        c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "16"))
+        compaction_chunks = c if r % c == 0 and r >= 4096 else 1
 
     state = dict(
         o=o,
