@@ -50,12 +50,14 @@ def main():
     log("setup", info.triangle_count, "tris")
 
     # depth sweep: cost(d) - cost(d-1) = per-bounce marginal cost
+    # (scene passed as a jit ARG — closures inline it as constants and
+    # compile for minutes)
     times = {}
     for dl in [0, 1, 2, 5]:
         f = jax.jit(
-            lambda i, dl=dl: pathtracer.render_pass(scene, cam, i, depth_limit=dl)[0].sum()
+            lambda sc, i, dl=dl: pathtracer.render_pass(sc, cam, i, depth_limit=dl)[0].sum()
         )
-        times[dl] = timeit(f"pass depth_limit={dl}", f, jnp.uint32(0))
+        times[dl] = timeit(f"pass depth_limit={dl}", f, scene, jnp.uint32(0))
     for a, b in [(0, 1), (1, 2), (2, 5)]:
         per = (times[b] - times[a]) / (b - a)
         log(f"marginal bounce cost {a}->{b}: {per*1000:.1f} ms")
@@ -63,29 +65,31 @@ def main():
     # shading split: full shade vs no-gather shade vs sky only
     rays = cam_mod.full_frame_rays(cam)
     o, d = rays.o, rays.d
-    res = jax.jit(lambda o, d: query.find_nearest(scene, o, d))(o, d)
+    res = jax.jit(lambda sc, o, d: query.find_nearest(sc, o, d))(scene, o, d)
     jax.block_until_ready(res)
 
-    def shade_full(res, o, d):
+    def shade_full(sc, res, o, d):
         pt = o + res["t"][..., None] * d
-        nrm, uv, mid = query.get_hit_info(scene, res, pt, d)
-        mf = query.material_fields(scene, mid)
-        alb = query.get_albedo(scene, mid, uv)
-        sky = query.sky_color(scene, d)
+        nrm, uv, mid = query.get_hit_info(sc, res, pt, d)
+        mf = query.material_fields(sc, mid)
+        alb = query.get_albedo(sc, mid, uv)
+        sky = query.sky_color(sc, d)
         return (alb + sky + nrm + mf["albedo"]).sum()
 
-    def shade_no_interp(res, o, d):
-        mid = res["mat_id_tri"]
-        mf = query.material_fields(scene, jnp.maximum(mid, 0))
-        sky = query.sky_color(scene, d)
-        return (sky + mf["albedo"]).sum()
+    def shade_no_tex(sc, res, o, d):
+        pt = o + res["t"][..., None] * d
+        nrm, uv, mid = query.get_hit_info(sc, res, pt, d)
+        mf = query.material_fields(sc, mid)
+        return (nrm + mf["albedo"]).sum()
 
-    def sky_only(d):
-        return query.sky_color(scene, d).sum()
+    def tex_only(sc, res, o, d):
+        pt = o + res["t"][..., None] * d
+        nrm, uv, mid = query.get_hit_info(sc, res, pt, d)
+        return query.get_albedo(sc, mid, uv).sum()
 
-    timeit("shade full", jax.jit(shade_full), res, o, d)
-    timeit("shade no-interp", jax.jit(shade_no_interp), res, o, d)
-    timeit("sky only", jax.jit(sky_only), d)
+    timeit("shade full", jax.jit(shade_full), scene, res, o, d)
+    timeit("shade no-tex (hitinfo+materials)", jax.jit(shade_no_tex), scene, res, o, d)
+    timeit("tex albedo only", jax.jit(tex_only), scene, res, o, d)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,10 @@ class PackedBVH:
     node_rows: jnp.ndarray  # [8, R_n, 128] f32 — per-octant node records
     tri_rows: jnp.ndarray  # [R_t, 128] f32 — leaf triangle records
     slot_tri: jnp.ndarray  # [R_t * 8] i32 — slot -> pool triangle id (-1 pad)
+    # [R_t, 128] f32 — per-slot shading records (n0 n1 n2, uv0 uv1 uv2, mat):
+    # lets the kernel emit interpolated normal/uv/mat directly, removing the
+    # post-traversal shade gather entirely
+    tri_shade_rows: jnp.ndarray = None
     # [R_t * 8] i32: tri(20 bits) | obj(6) << 20 | mat(6) << 26, -1 pad —
     # ONE gather recovers all three hit ids (gathers cost ~per-index on TPU)
     slot_meta: jnp.ndarray = None
@@ -55,8 +59,13 @@ class PackedBVH:
     world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
 
 
-def pack_bvh(host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, miss) -> PackedBVH:
-    """host_bvh: accel.bvh_builder._HostBVH (trimmed); hit/miss: [8, M]."""
+def pack_bvh(
+    host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, miss,
+    shade16: np.ndarray | None = None,
+) -> PackedBVH:
+    """host_bvh: accel.bvh_builder._HostBVH (trimmed); hit/miss: [8, M].
+    `shade16` [N, 16]: per-tri n0(3) n1(3) n2(3) uv0(2) uv1(2) uv2(2) mat(1)
+    for in-kernel attribute interpolation (optional)."""
     m = host_bvh.nodes_used
     is_leaf = host_bvh.tri_count > 0
 
@@ -65,6 +74,7 @@ def pack_bvh(host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, mis
     total_rows = int(sum((int(host_bvh.tri_count[n]) + TRIS_PER_ROW - 1) // TRIS_PER_ROW for n in leaf_ids))
     total_rows = max(total_rows, 1)
     tri_rows = np.zeros((total_rows, 128), np.float32)
+    tri_shade_rows = np.zeros((total_rows, 128), np.float32) if shade16 is not None else None
     slot_tri = np.full(total_rows * TRIS_PER_ROW, -1, np.int32)
     leaf_row_start = np.zeros(m, np.int64)
     leaf_nrows = np.zeros(m, np.int64)
@@ -82,6 +92,8 @@ def pack_bvh(host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, mis
             tri_rows[rr, lane + 0 : lane + 3] = tri_v0[tid]
             tri_rows[rr, lane + 3 : lane + 6] = tri_e1[tid]
             tri_rows[rr, lane + 6 : lane + 9] = tri_e2[tid]
+            if tri_shade_rows is not None:
+                tri_shade_rows[rr, lane : lane + 16] = shade16[tid]
             slot_tri[rr * TRIS_PER_ROW + (k % TRIS_PER_ROW)] = tid
         row += nrows
 
@@ -105,6 +117,7 @@ def pack_bvh(host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, mis
         node_rows=jnp.asarray(node_rows),
         tri_rows=jnp.asarray(tri_rows),
         slot_tri=jnp.asarray(slot_tri),
+        tri_shade_rows=jnp.asarray(tri_shade_rows) if tri_shade_rows is not None else None,
         root=0,
         num_nodes=m,
         world_min=tuple(float(x) for x in host_bvh.node_min[0]),
@@ -126,13 +139,13 @@ class HostBVHView:
 def pack_host(
     node_min, node_max, left_first, tri_count,
     tri_indices, tri_v0, tri_e1, tri_e2, hit, miss, root: int,
-    obj_id=None, mat_id=None,
+    obj_id=None, mat_id=None, shade16=None,
 ) -> PackedBVH:
     """Pack from HOST numpy arrays — the path the scene compiler uses.
     (Never pull device arrays back: device->host transfers can be orders of
     magnitude slower than host->device on tunneled TPU runtimes.)"""
     view = HostBVHView(node_min.shape[0], node_min, node_max, left_first, tri_count)
-    pk = pack_bvh(view, tri_indices, tri_v0, tri_e1, tri_e2, hit, miss)
+    pk = pack_bvh(view, tri_indices, tri_v0, tri_e1, tri_e2, hit, miss, shade16=shade16)
     pk = pk.replace(
         root=root,
         world_min=tuple(float(x) for x in node_min[root]),

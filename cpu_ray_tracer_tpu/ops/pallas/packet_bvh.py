@@ -75,12 +75,18 @@ def _kernel(
     t0_ref, mask_ref,
     nodes_ref,  # VMEM [8, Rn, 128] full
     tris_ref,  # VMEM [Rt, 128] full
-    t_ref, u_ref, v_ref, slot_ref, trav_ref, test_ref,  # outputs per tile
-    *,
+    *rest,  # [shade_ref,] outputs...
     root: int,
     any_hit: bool,
     max_steps: int,
+    with_shade: bool,
 ):
+    if with_shade:
+        shade_ref = rest[0]
+        (t_ref, u_ref, v_ref, slot_ref, trav_ref, test_ref,
+         nx_ref, ny_ref, nz_ref, tu_ref, tv_ref, mat_ref) = rest[1:]
+    else:
+        t_ref, u_ref, v_ref, slot_ref, trav_ref, test_ref = rest
     pid = pl.program_id(0)
     o8 = oct_ref[pid]
 
@@ -93,7 +99,7 @@ def _kernel(
     mask = mask_ref[0] > 0.5
 
     def cond(c):
-        cur, t, u, v, slot, trav, test, steps = c
+        cur, t, u, v, slot, trav, test, steps = c[:8]
         go = (cur >= 0) & (steps < max_steps)
         if any_hit:
             # a lane still "needs" traversal while it has no hit; derived
@@ -103,7 +109,10 @@ def _kernel(
         return go
 
     def step(c):
-        cur, t, u, v, slot, trav, test, steps = c
+        if with_shade:
+            cur, t, u, v, slot, trav, test, steps, nx, ny, nz, tu, tv, mat = c
+        else:
+            cur, t, u, v, slot, trav, test, steps = c
         # safe when cur < 0 (parked): the unrolled second step may be
         # executed predicated on TPU, so reads must stay in bounds and
         # state must not advance
@@ -144,10 +153,12 @@ def _kernel(
         trav = trav + jnp.where(mask & active, 1, 0)
 
         def leaf_tests(args):
-            t, u, v, slot, test = args
-
             def row_body(i, args2):
-                t, u, v, slot, test = args2
+                if with_shade:
+                    t, u, v, slot, test, nx, ny, nz, tu, tv, mat = args2
+                    srow = shade_ref[pl.ds(lf + i, 1), :]  # (1, 128)
+                else:
+                    t, u, v, slot, test = args2
                 trow = tris_ref[pl.ds(lf + i, 1), :]  # (1, 128)
                 base_slot = (lf + i) * TRIS_PER_ROW
                 for k in range(TRIS_PER_ROW):
@@ -184,18 +195,47 @@ def _kernel(
                     u = jnp.where(ok, uu, u)
                     v = jnp.where(ok, vv, v)
                     slot = jnp.where(ok, base_slot + k, slot)
+                    if with_shade:
+                        # interpolate shading attributes at test time using
+                        # this tri's broadcast record — the winning values
+                        # ride per-lane registers; no post-traversal gather
+                        ww = 1.0 - uu - vv
+                        sl0 = lane0
+                        n0x, n0y, n0z = srow[0, sl0], srow[0, sl0 + 1], srow[0, sl0 + 2]
+                        n1x, n1y, n1z = srow[0, sl0 + 3], srow[0, sl0 + 4], srow[0, sl0 + 5]
+                        n2x, n2y, n2z = srow[0, sl0 + 6], srow[0, sl0 + 7], srow[0, sl0 + 8]
+                        u0a, v0a = srow[0, sl0 + 9], srow[0, sl0 + 10]
+                        u1a, v1a = srow[0, sl0 + 11], srow[0, sl0 + 12]
+                        u2a, v2a = srow[0, sl0 + 13], srow[0, sl0 + 14]
+                        m_id = srow[0, sl0 + 15]
+                        nx = jnp.where(ok, ww * n0x + uu * n1x + vv * n2x, nx)
+                        ny = jnp.where(ok, ww * n0y + uu * n1y + vv * n2y, ny)
+                        nz = jnp.where(ok, ww * n0z + uu * n1z + vv * n2z, nz)
+                        tu = jnp.where(ok, ww * u0a + uu * u1a + vv * u2a, tu)
+                        tv = jnp.where(ok, ww * v0a + uu * v1a + vv * v2a, tv)
+                        mat = jnp.where(ok, m_id.astype(jnp.int32), mat)
                 test = test + jnp.where(mask, TRIS_PER_ROW, 0)
+                if with_shade:
+                    return t, u, v, slot, test, nx, ny, nz, tu, tv, mat
                 return t, u, v, slot, test
 
-            return jax.lax.fori_loop(0, nrows, row_body, (t, u, v, slot, test))
+            return jax.lax.fori_loop(0, nrows, row_body, args)
 
         do_leaf = any_lane & is_leaf
-        t, u, v, slot, test = jax.lax.cond(
-            do_leaf, leaf_tests, lambda a: a, (t, u, v, slot, test)
-        )
+        if with_shade:
+            t, u, v, slot, test, nx, ny, nz, tu, tv, mat = jax.lax.cond(
+                do_leaf, leaf_tests, lambda a: a,
+                (t, u, v, slot, test, nx, ny, nz, tu, tv, mat),
+            )
+        else:
+            t, u, v, slot, test = jax.lax.cond(
+                do_leaf, leaf_tests, lambda a: a, (t, u, v, slot, test)
+            )
 
         descend = any_lane & (~is_leaf)
         cur = jnp.where(active, jnp.where(descend, hit_link, miss_link), cur)
+        if with_shade:
+            return cur, t, u, v, slot, trav, test, steps + 1, nx, ny, nz, tu, tv, mat
         return cur, t, u, v, slot, trav, test, steps + 1
 
     def body(c):
@@ -219,13 +259,31 @@ def _kernel(
         jnp.zeros(TILE_SHAPE, jnp.int32),
         jnp.int32(0),
     )
-    cur, t, u, v, slot, trav, test, steps = jax.lax.while_loop(cond, body, init)
+    if with_shade:
+        init = init + (
+            jnp.zeros(TILE_SHAPE, jnp.float32),
+            jnp.zeros(TILE_SHAPE, jnp.float32),
+            jnp.zeros(TILE_SHAPE, jnp.float32),
+            jnp.zeros(TILE_SHAPE, jnp.float32),
+            jnp.zeros(TILE_SHAPE, jnp.float32),
+            jnp.full(TILE_SHAPE, -1, jnp.int32),
+        )
+    out = jax.lax.while_loop(cond, body, init)
+    cur, t, u, v, slot, trav, test, steps = out[:8]
     t_ref[0] = t
     u_ref[0] = u
     v_ref[0] = v
     slot_ref[0] = slot
     trav_ref[0] = trav
     test_ref[0] = test
+    if with_shade:
+        nx, ny, nz, tu, tv, mat = out[8:]
+        nx_ref[0] = nx
+        ny_ref[0] = ny
+        nz_ref[0] = nz
+        tu_ref[0] = tu
+        tv_ref[0] = tv
+        mat_ref[0] = mat
 
 
 def _tile_arrays(x: jnp.ndarray, n_tiles: int):
@@ -233,43 +291,48 @@ def _tile_arrays(x: jnp.ndarray, n_tiles: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("any_hit", "interpret", "root", "max_steps")
+    jax.jit, static_argnames=("any_hit", "interpret", "root", "max_steps", "with_shade")
 )
 def _run(
     oct_per_tile,
     comps,
     node_rows,
     tri_rows,
+    shade_rows,
     root: int,
     any_hit: bool,
     max_steps: int,
     interpret: bool,
+    with_shade: bool,
 ):
     n_tiles = oct_per_tile.shape[0]
     tile_spec = pl.BlockSpec((1, *TILE_SHAPE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     full = lambda ndim: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shapes = [
-        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.float32),  # t
-        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.float32),  # u
-        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.float32),  # v
-        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32),  # slot
-        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32),  # traversed
-        jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32),  # tested
+    f32 = jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32)
+    out_shapes = [f32, f32, f32, i32, i32, i32]  # t u v slot traversed tested
+    extra_in = []
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # octants
+        *[tile_spec] * 8,  # ox..mask
+        full(3),  # nodes
+        full(2),  # tris
     ]
-    kernel = functools.partial(_kernel, root=root, any_hit=any_hit, max_steps=max_steps)
+    if with_shade:
+        out_shapes += [f32, f32, f32, f32, f32, i32]  # nx ny nz tu tv mat
+        extra_in = [shade_rows]
+        in_specs.append(full(2))
+    kernel = functools.partial(
+        _kernel, root=root, any_hit=any_hit, max_steps=max_steps, with_shade=with_shade
+    )
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         out_shape=out_shapes,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # octants
-            *[tile_spec] * 8,  # ox..mask
-            full(3),  # nodes
-            full(2),  # tris
-        ],
-        out_specs=[tile_spec] * 6,
+        in_specs=in_specs,
+        out_specs=[tile_spec] * len(out_shapes),
         interpret=interpret,
-    )(oct_per_tile, *comps, node_rows, tri_rows)
+    )(oct_per_tile, *comps, node_rows, tri_rows, *extra_in)
 
 
 def traverse(
@@ -321,16 +384,20 @@ def traverse(
         _tile_arrays(x, n_tiles) for x in (ox, oy, oz, dx, dy, dz, t0p, maskp)
     ]
     max_steps = 4 * pk.num_nodes + 16
-    t, u, v, slot, trav, test = _run(
+    with_shade = pk.tri_shade_rows is not None and not any_hit
+    outs = _run(
         oct_tile,
         tuple(comps),
         pk.node_rows,
         pk.tri_rows,
+        pk.tri_shade_rows if with_shade else pk.tri_rows,
         root=pk.root,
         any_hit=any_hit,
         max_steps=max_steps,
         interpret=interpret,
+        with_shade=with_shade,
     )
+    t, u, v, slot, trav, test = outs[:6]
 
     def unpad(x):
         return x.reshape(-1)[:r]
@@ -339,27 +406,40 @@ def traverse(
     u = unpad(u)
     v = unpad(v)
     slot = unpad(slot)
+    res = dict(
+        t=t,
+        bary=jnp.stack([u, v], axis=-1),
+        traversed=unpad(trav),
+        tested=unpad(test),
+    )
+    if with_shade:
+        nx, ny, nz, tu, tv, mat = outs[6:]
+        # normal normalized here (reference normalizes after the lerp,
+        # blas_bvh.cpp:391-398); back-face flip happens in get_hit_info
+        n = jnp.stack([unpad(nx), unpad(ny), unpad(nz)], axis=-1)
+        sq = jnp.sum(n * n, axis=-1, keepdims=True)
+        n = n * jax.lax.rsqrt(jnp.maximum(sq, 1e-20))
+        res["shade_normal"] = n
+        res["shade_uv"] = jnp.stack([unpad(tu), unpad(tv)], axis=-1)
+        mat_id = unpad(mat)
     if pk.slot_meta is not None:
         meta = pk.slot_meta[jnp.maximum(slot, 0)]
         found = (slot >= 0) & (meta >= 0)
         tri_idx = jnp.where(found, meta & 0xFFFFF, -1)
         obj_id = jnp.where(found, (meta >> 20) & 0x3F, -1)
-        mat_id = jnp.where(found, (meta >> 26) & 0x3F, -1)
+        if not with_shade:
+            mat_id = jnp.where(found, (meta >> 26) & 0x3F, -1)
     else:
         tri_idx = jnp.where(slot >= 0, pk.slot_tri[jnp.maximum(slot, 0)], -1)
         found = tri_idx >= 0
         tri_safe = jnp.maximum(tri_idx, 0)
         obj_id = jnp.where(found, tris.obj_id[tri_safe], -1)
-        mat_id = jnp.where(found, tris.mat_id[tri_safe], -1)
-    return dict(
-        t=t,
-        bary=jnp.stack([u, v], axis=-1),
-        tri_idx=tri_idx,
-        obj_id=obj_id,
-        mat_id=mat_id,
-        traversed=unpad(trav),
-        tested=unpad(test),
-    )
+        if not with_shade:
+            mat_id = jnp.where(found, tris.mat_id[tri_safe], -1)
+    res["tri_idx"] = tri_idx
+    res["obj_id"] = obj_id
+    res["mat_id"] = mat_id
+    return res
 
 
 def traverse_sorted(

@@ -248,13 +248,31 @@ def compile_scene(
         from cpu_ray_tracer_tpu.accel import pack as pack_mod
 
         v0h = all_v[:, 0]
+        all_n = np.concatenate(inst_n, axis=0).astype(np.float32)
+        all_uv = np.concatenate(inst_uv, axis=0).astype(np.float32)
+        mat_arr = np.concatenate(inst_mat, axis=0)
+        # fill degenerate vertex normals with geometric ones (matches
+        # make_triangle_pool)
+        gn = np.cross(all_v[:, 1] - v0h, all_v[:, 2] - v0h)
+        gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        bad = np.linalg.norm(all_n, axis=-1) < 1e-8
+        all_n = np.where(bad[..., None], gn[:, None, :], all_n)
+        shade16 = np.zeros((all_v.shape[0], 16), np.float32)
+        shade16[:, 0:3] = all_n[:, 0]
+        shade16[:, 3:6] = all_n[:, 1]
+        shade16[:, 6:9] = all_n[:, 2]
+        shade16[:, 9:11] = all_uv[:, 0]
+        shade16[:, 11:13] = all_uv[:, 1]
+        shade16[:, 13:15] = all_uv[:, 2]
+        shade16[:, 15] = mat_arr.astype(np.float32)
         packed = pack_mod.pack_host(
             host_pack["node_min"], host_pack["node_max"],
             host_pack["left_first"], host_pack["tri_count"],
             host_pack["tri_indices"], v0h, all_v[:, 1] - v0h, all_v[:, 2] - v0h,
             host_pack["hit"], host_pack["miss"], host_pack["root"],
             obj_id=np.concatenate(inst_obj, axis=0),
-            mat_id=np.concatenate(inst_mat, axis=0),
+            mat_id=mat_arr,
+            shade16=shade16,
         )
 
     scene = DeviceScene(

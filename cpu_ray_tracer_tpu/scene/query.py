@@ -70,7 +70,7 @@ def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, ma
 
     res = _traverse_accel(scene, o, d, t, mask=mask, sort_rays=sort_rays)
     tri_hit = res["tri_idx"] >= 0
-    return dict(
+    out = dict(
         t=res["t"],
         obj_idx=jnp.where(tri_hit, res["obj_id"], obj),
         tri_idx=res["tri_idx"],
@@ -79,6 +79,10 @@ def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, ma
         traversed=res["traversed"],
         tested=res["tested"],
     )
+    if "shade_normal" in res:  # in-kernel interpolated attributes
+        out["shade_normal"] = res["shade_normal"]
+        out["shade_uv"] = res["shade_uv"]
+    return out
 
 
 def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, mask=None, sort_rays: bool = False):
@@ -173,7 +177,10 @@ def get_hit_info(scene: DeviceScene, hit: dict, point: jnp.ndarray, d: jnp.ndarr
     obj = hit["obj_idx"]
     tri_hit = hit["tri_idx"] >= 0
 
-    n_tri, uv_tri = traverse_bvh.interpolate_hit(scene.tris, hit["tri_idx"], hit["bary"])
+    if "shade_normal" in hit:
+        n_tri, uv_tri = hit["shade_normal"], hit["shade_uv"]
+    else:
+        n_tri, uv_tri = traverse_bvh.interpolate_hit(scene.tris, hit["tri_idx"], hit["bary"])
     # light quad normal: TransformVector((0,-1,0), T) (primitives.h:365-369)
     light_n = -scene.light_t[:3, 1]
     floor_uv = intersect.plane_uv(point, scene.floor_inv_to)
