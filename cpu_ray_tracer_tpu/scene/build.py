@@ -248,6 +248,12 @@ def compile_scene(
         from cpu_ray_tracer_tpu.accel import pack as pack_mod
 
         v0h = all_v[:, 0]
+        # in-kernel attribute interpolation: measured net-negative on v5e
+        # (extra leaf-test vector work + 6 more while carries outweigh the
+        # saved post-traversal gather) — keep available for other topologies
+        import os as _os
+
+        want_kernel_shade = _os.environ.get("CRT_KERNEL_SHADE", "0") == "1"
         all_n = np.concatenate(inst_n, axis=0).astype(np.float32)
         all_uv = np.concatenate(inst_uv, axis=0).astype(np.float32)
         mat_arr = np.concatenate(inst_mat, axis=0)
@@ -265,6 +271,8 @@ def compile_scene(
         shade16[:, 11:13] = all_uv[:, 1]
         shade16[:, 13:15] = all_uv[:, 2]
         shade16[:, 15] = mat_arr.astype(np.float32)
+        if not want_kernel_shade:
+            shade16 = None
         packed = pack_mod.pack_host(
             host_pack["node_min"], host_pack["node_max"],
             host_pack["left_first"], host_pack["tri_count"],
