@@ -178,15 +178,19 @@ def render(
     if children is not None:
         o, d, inside, w, pixv, alive, drop = _compact_children(children, pixel0, cap)
         dropped += drop
-        for level in range(1, depth_limit + 1):
-            emit = level < depth_limit
+
+        def run_level(emit, carry):
+            """One secondary wavefront level; skipped wholesale (lax.cond)
+            when no children were emitted — in mostly-diffuse scenes the
+            primary level emits none and the frame costs one level."""
+            film, o, d, inside, w, pixv, alive, dropped = carry
             pix, contrib, children, _ = _shade_level(
                 scene, o, d, inside, w, pixv, alive, emit_children=emit,
                 differentiable=differentiable,
             )
             film = film.at[pix].add(jnp.where(alive[..., None], contrib, 0.0))
             if children is None:
-                break
+                return film, o, d, inside, w, pixv, alive, dropped
             o, d, inside, w, pixv, alive, drop = _compact_children(
                 dict(
                     emit1=children["emit1"] & alive,
@@ -198,7 +202,19 @@ def render(
                 pixv,
                 cap,
             )
-            dropped += drop
+            return film, o, d, inside, w, pixv, alive, dropped + drop
+
+        carry = (film, o, d, inside, w, pixv, alive, dropped)
+        for level in range(1, depth_limit + 1):
+            emit = level < depth_limit
+            n_live = jnp.sum(carry[6].astype(jnp.int32))
+            carry = jax.lax.cond(
+                n_live > 0,
+                lambda c, emit=emit: run_level(emit, c),
+                lambda c: c,
+                carry,
+            )
+        film, o, d, inside, w, pixv, alive, dropped = carry
 
     img = film.reshape(camera.height, camera.width, 3)
     return dict(
