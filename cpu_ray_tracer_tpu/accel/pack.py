@@ -59,19 +59,27 @@ class PackedBVH:
     world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
 
 
-def pack_bvh(
-    host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, miss,
+def pack_tri_rows(
+    left_first: np.ndarray,
+    tri_count: np.ndarray,
+    tri_indices: np.ndarray,
+    tri_v0,
+    tri_e1,
+    tri_e2,
     shade16: np.ndarray | None = None,
-) -> PackedBVH:
-    """host_bvh: accel.bvh_builder._HostBVH (trimmed); hit/miss: [8, M].
-    `shade16` [N, 16]: per-tri n0(3) n1(3) n2(3) uv0(2) uv1(2) uv2(2) mat(1)
-    for in-kernel attribute interpolation (optional)."""
-    m = host_bvh.nodes_used
-    is_leaf = host_bvh.tri_count > 0
+):
+    """Re-store leaf triangles contiguously, 8 per 128-lane row, padded with
+    degenerate triangles.  Shared by the binary (packet_bvh) and wide
+    (wide_bvh) kernel packers — both traverse the SAME leaf rows.
 
-    # --- leaf triangle rows, 8-aligned, padded with degenerate tris -------
+    Returns (tri_rows, tri_shade_rows | None, slot_tri, leaf_row_start [M],
+    leaf_nrows [M])."""
+    m = tri_count.shape[0]
+    is_leaf = tri_count > 0
     leaf_ids = np.where(is_leaf)[0]
-    total_rows = int(sum((int(host_bvh.tri_count[n]) + TRIS_PER_ROW - 1) // TRIS_PER_ROW for n in leaf_ids))
+    total_rows = int(
+        sum((int(tri_count[n]) + TRIS_PER_ROW - 1) // TRIS_PER_ROW for n in leaf_ids)
+    )
     total_rows = max(total_rows, 1)
     tri_rows = np.zeros((total_rows, 128), np.float32)
     tri_shade_rows = np.zeros((total_rows, 128), np.float32) if shade16 is not None else None
@@ -80,8 +88,8 @@ def pack_bvh(
     leaf_nrows = np.zeros(m, np.int64)
     row = 0
     for n in leaf_ids:
-        f = int(host_bvh.left_first[n])
-        c = int(host_bvh.tri_count[n])
+        f = int(left_first[n])
+        c = int(tri_count[n])
         leaf_row_start[n] = row
         nrows = (c + TRIS_PER_ROW - 1) // TRIS_PER_ROW
         leaf_nrows[n] = nrows
@@ -96,6 +104,23 @@ def pack_bvh(
                 tri_shade_rows[rr, lane : lane + 16] = shade16[tid]
             slot_tri[rr * TRIS_PER_ROW + (k % TRIS_PER_ROW)] = tid
         row += nrows
+    return tri_rows, tri_shade_rows, slot_tri, leaf_row_start, leaf_nrows
+
+
+def pack_bvh(
+    host_bvh, tri_indices: np.ndarray, tri_v0, tri_e1, tri_e2, hit, miss,
+    shade16: np.ndarray | None = None,
+) -> PackedBVH:
+    """host_bvh: accel.bvh_builder._HostBVH (trimmed); hit/miss: [8, M].
+    `shade16` [N, 16]: per-tri n0(3) n1(3) n2(3) uv0(2) uv1(2) uv2(2) mat(1)
+    for in-kernel attribute interpolation (optional)."""
+    m = host_bvh.nodes_used
+    is_leaf = host_bvh.tri_count > 0
+
+    tri_rows, tri_shade_rows, slot_tri, leaf_row_start, leaf_nrows = pack_tri_rows(
+        host_bvh.left_first, host_bvh.tri_count, tri_indices,
+        tri_v0, tri_e1, tri_e2, shade16=shade16,
+    )
 
     # --- octant-replicated node rows ------------------------------------
     n_node_rows = (m + NODES_PER_ROW - 1) // NODES_PER_ROW
@@ -158,9 +183,14 @@ def pack_host(
 
 def make_slot_meta(slot_tri: np.ndarray, obj_id: np.ndarray, mat_id: np.ndarray):
     """Fused slot -> (tri, obj, mat) table; falls back to None when ids
-    exceed the packed field widths (20/6/6 bits)."""
+    exceed the packed field widths (tri 20 / obj 6 / mat 5 bits).
+
+    mat_id rides in bits 26-31 of a SIGNED int32 whose sign bit doubles as
+    the -1 pad sentinel (packet_bvh.py tests `meta >= 0`), so mat_id must fit
+    in FIVE bits — a 6-bit value >= 32 would set bit 31 and make real hits
+    read as misses."""
     n = obj_id.shape[0]
-    if n >= (1 << 20) or obj_id.max(initial=0) >= (1 << 6) or mat_id.max(initial=0) >= (1 << 6):
+    if n >= (1 << 20) or obj_id.max(initial=0) >= (1 << 6) or mat_id.max(initial=0) >= (1 << 5):
         return None
     meta = np.full(slot_tri.shape, -1, np.int32)
     valid = slot_tri >= 0

@@ -1,0 +1,211 @@
+"""Wide (8-ary) BVH collapse + packing for the wide Pallas traversal kernel.
+
+Round-1 profiling showed the binary packet kernel is bound by the per-node
+SCALAR chain (row fetch + `pltpu.roll` + field extracts + link branch):
+~200 ns per node step regardless of unrolling, because each step advances
+ONE cursor by ONE binary node.  The fix is architectural, not micro: collapse
+the binary SAH tree into 8-wide nodes so ONE row fetch delivers EIGHT child
+AABBs at static lane offsets — the scalar overhead is amortized 8x, the roll
+disappears entirely (children live at static lanes), and a subtree expansion
+tests 8 boxes instead of binary's 14 (2+4+8) for the same frontier.
+
+Layout (per wide node, one 128-lane f32 row, replicated per ray octant with
+children pre-sorted near-first for that octant):
+
+    child k at lanes [16k, 16k+16): bmin(3) bmax(3) pad(10)
+
+Child metadata (leaf/interior flag, pointers) lives in an SMEM int32 table —
+scalar loads from SMEM are cheap, while extracting integers from a VMEM
+vector register costs a vector->scalar transfer each:
+
+    meta[o, w, k] = tri_row_ptr | nrows << 22          (leaf, nrows >= 1)
+                  = child_wide_row                     (interior, bits 22+ zero)
+                  = 0 with an inverted AABB            (empty slot: never hits)
+
+The binary tree's SAH topology (reference cost semantics, infra/bvh.cpp
+:63-178) is preserved below the collapse points; leaf triangle rows are the
+same `pack.pack_tri_rows` layout the binary kernel uses, so slot decoding is
+shared.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from flax import struct
+
+import jax.numpy as jnp
+
+from cpu_ray_tracer_tpu.accel.pack import (
+    TRIS_PER_ROW,
+    make_slot_meta,
+    pack_tri_rows,
+)
+
+WIDE = 8  # children per wide node
+CHILD_F = 16  # lanes per child record (bmin 0-2, bmax 3-5)
+META_NROWS_SHIFT = 22  # meta = ptr | nrows << 22
+META_PTR_MASK = (1 << META_NROWS_SHIFT) - 1
+
+
+@struct.dataclass
+class PackedWideBVH:
+    node_rows: jnp.ndarray  # [8, W, 128] f32 — per-octant wide-node rows
+    meta: jnp.ndarray  # [8 * W * 8] i32 — per-octant child metadata (SMEM)
+    tri_rows: jnp.ndarray  # [R_t, 128] f32 — shared leaf triangle rows
+    slot_tri: jnp.ndarray  # [R_t * 8] i32
+    slot_meta: jnp.ndarray = None  # fused (tri, obj, mat) decode table
+    num_wide: int = struct.field(pytree_node=False, default=0)
+    max_stack: int = struct.field(pytree_node=False, default=64)
+    world_min: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
+    world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
+
+
+def collapse_wide(
+    left: np.ndarray,
+    right: np.ndarray,
+    tri_count: np.ndarray,
+    node_min: np.ndarray,
+    node_max: np.ndarray,
+    root: int,
+    width: int = WIDE,
+):
+    """Collapse a binary BVH into wide nodes.
+
+    Greedy: a wide node starts from one binary interior node's two children
+    and repeatedly expands the largest-surface-area interior child in place
+    until `width` slots are used (the standard BVH8 collapse heuristic —
+    large boxes are the ones worth culling early).
+
+    Returns (children, depth): `children` is a list over wide nodes of lists
+    of (binary_node_id, wide_child_idx_or_-1); wide node 0 is the root.
+    `depth` is the max wide-tree depth (root = 1).
+    """
+    ext = np.maximum(node_max - node_min, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+    is_leaf = tri_count > 0
+
+    children: list[list] = []
+    depth_of: list[int] = []
+
+    def new_wide(binary_node: int, depth: int) -> int:
+        idx = len(children)
+        children.append(binary_node)  # placeholder (binary id)
+        depth_of.append(depth)
+        return idx
+
+    if is_leaf[root]:
+        # degenerate single-leaf tree: one wide node with one leaf child
+        return [[(root, -1)]], 1
+
+    new_wide(root, 1)
+    i = 0
+    while i < len(children):
+        if isinstance(children[i], int):
+            n = children[i]
+            kids = [int(left[n]), int(right[n])]
+            while len(kids) < width:
+                best, best_a = -1, -1.0
+                for j, c in enumerate(kids):
+                    if not is_leaf[c] and area[c] > best_a:
+                        best, best_a = j, float(area[c])
+                if best < 0:
+                    break
+                c = kids.pop(best)
+                kids.extend([int(left[c]), int(right[c])])
+            out = []
+            for c in kids:
+                if is_leaf[c]:
+                    out.append((c, -1))
+                else:
+                    out.append((c, new_wide(c, depth_of[i] + 1)))
+            children[i] = out
+        i += 1
+    return children, max(depth_of)
+
+
+def _octant_order(centers: np.ndarray, octant: int) -> np.ndarray:
+    """Near-first child order for rays in `octant` (bit a set = direction
+    negative along axis a): ascending projection of the child box center onto
+    the octant's sign vector — the static analog of the reference's
+    distance-ordered descent (infra/bvh.cpp:245-249)."""
+    sign = np.array(
+        [-1.0 if (octant >> a) & 1 else 1.0 for a in range(3)], np.float32
+    )
+    key = centers @ sign
+    return np.argsort(key, kind="stable")
+
+
+def pack_wide_host(
+    node_min: np.ndarray,
+    node_max: np.ndarray,
+    left: np.ndarray,
+    right: np.ndarray,
+    left_first: np.ndarray,
+    tri_count: np.ndarray,
+    tri_indices: np.ndarray,
+    tri_v0: np.ndarray,
+    tri_e1: np.ndarray,
+    tri_e2: np.ndarray,
+    root: int,
+    obj_id: np.ndarray | None = None,
+    mat_id: np.ndarray | None = None,
+) -> PackedWideBVH:
+    """Collapse + pack a binary host BVH (possibly a fused TLAS forest with a
+    single root) for the wide kernel.  All numpy — never touches the device
+    until the final `jnp.asarray` uploads (host->device is the fast
+    direction on tunneled TPUs)."""
+    wide, depth = collapse_wide(left, right, tri_count, node_min, node_max, root)
+    w = len(wide)
+
+    tri_rows, _, slot_tri, leaf_row_start, leaf_nrows = pack_tri_rows(
+        left_first, tri_count, tri_indices, tri_v0, tri_e1, tri_e2
+    )
+    n_tri_rows = tri_rows.shape[0]
+    if n_tri_rows >= (1 << META_NROWS_SHIFT) or w >= (1 << META_NROWS_SHIFT):
+        raise ValueError(
+            f"scene too large for wide meta packing ({n_tri_rows} tri rows, "
+            f"{w} wide nodes >= 2^{META_NROWS_SHIFT})"
+        )
+
+    node_rows = np.zeros((8, w, 128), np.float32)
+    meta = np.zeros((8, w, WIDE), np.int32)
+    # Empty slots: NaN AABB.  NOT an inverted box — the kernel's slab test
+    # takes min/max of the two plane distances per axis, so an inverted box
+    # passes it like a huge box would.  NaN makes every comparison false, so
+    # the slab test genuinely fails; meta stays 0, which the kernel also
+    # treats as "never push" (real interior children are >= 1, real leaves
+    # have nrows bits set).
+    for a in range(6):
+        node_rows[:, :, a::CHILD_F] = np.nan
+
+    for wi, kids in enumerate(wide):
+        ids = np.array([c[0] for c in kids], np.int64)
+        centers = (node_min[ids] + node_max[ids]) * 0.5
+        for o in range(8):
+            order = _octant_order(centers, o)
+            for slot, j in enumerate(order):
+                bin_id, wide_child = kids[j]
+                lane = slot * CHILD_F
+                node_rows[o, wi, lane + 0 : lane + 3] = node_min[bin_id]
+                node_rows[o, wi, lane + 3 : lane + 6] = node_max[bin_id]
+                if wide_child >= 0:
+                    meta[o, wi, slot] = wide_child
+                else:
+                    meta[o, wi, slot] = int(leaf_row_start[bin_id]) | (
+                        int(leaf_nrows[bin_id]) << META_NROWS_SHIFT
+                    )
+
+    pk = PackedWideBVH(
+        node_rows=jnp.asarray(node_rows),
+        meta=jnp.asarray(meta.reshape(-1)),
+        tri_rows=jnp.asarray(tri_rows),
+        slot_tri=jnp.asarray(slot_tri),
+        num_wide=w,
+        # worst case one wide node pushes width-1 extra entries per level
+        max_stack=max(8 * (depth + 2), 64),
+        world_min=tuple(float(x) for x in node_min[root]),
+        world_max=tuple(float(x) for x in node_max[root]),
+    )
+    if obj_id is not None and mat_id is not None:
+        pk = pk.replace(slot_meta=make_slot_meta(np.asarray(slot_tri), obj_id, mat_id))
+    return pk

@@ -48,6 +48,18 @@ def main(argv=None):
         out["image"].block_until_ready()
         timing = fm.stop()
         rec = dict(**timing, **metrics_mod.traversal_summary(out["traversed"], out["tested"]))
+        n_dropped = int(out["dropped"])
+        if n_dropped > 0:
+            # silent child-buffer overflow would darken the image (biased
+            # render) — surface it loudly and say how to fix it
+            print(
+                f"WARNING: {n_dropped} secondary rays dropped at the child-"
+                f"buffer cap; image is biased (dark). Raise "
+                f"--whitted-cap-factor (currently {cfg.whitted_cap_factor}; "
+                f"dielectric-heavy scenes may need 2.0).",
+                file=sys.stderr,
+            )
+            rec["dropped_rays"] = n_dropped
         print(rec)
         logger.log(rec)
         img = out["image"]

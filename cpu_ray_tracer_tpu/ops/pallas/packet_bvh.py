@@ -452,8 +452,13 @@ def traverse_sorted(
     any_hit: bool = False,
     interpret: bool = False,
     spatial: bool = True,
+    traverse_fn=None,
 ):
     """traverse() behind a stable octant sort of the ray batch.
+
+    `traverse_fn` lets other packet kernels (wide_bvh) reuse the sort —
+    `pk` then is whatever packed structure that kernel takes (it only needs
+    `world_min`/`world_max` here).
 
     Bounce rays are incoherent: a mixed-octant tile visits the union of
     nodes its rays need with a single traversal order.  Sorting by
@@ -501,7 +506,9 @@ def traverse_sorted(
         starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
         pos = jnp.sum(oh * (starts[None, :] + within), axis=1)  # [R] inverse perm
         perm = jnp.zeros((r,), jnp.int32).at[pos].set(jnp.arange(r, dtype=jnp.int32))
-    res = traverse(
+    if traverse_fn is None:
+        traverse_fn = traverse
+    res = traverse_fn(
         pk,
         tris,
         o[perm],

@@ -196,6 +196,7 @@ def compile_scene(
         host_pack = dict(
             node_min=host.node_min, node_max=host.node_max,
             left_first=host.left_first, tri_count=host.tri_count,
+            left=host.left, right=host.right,
             tri_indices=idx, hit=hit, miss=miss, root=0,
         )
         bvh = BVHArrays(
@@ -244,6 +245,7 @@ def compile_scene(
     light_inv_t = vm.mat_inverted_no_scale(light_t)
 
     packed = None
+    packed_wide = None
     if use_pallas and accel == "bvh" and host_pack is not None:
         from cpu_ray_tracer_tpu.accel import pack as pack_mod
 
@@ -282,6 +284,30 @@ def compile_scene(
             mat_id=mat_arr,
             shade16=shade16,
         )
+        # Wide kernel is opt-in: on v5e it measured 12.6 Mrays/s primary vs
+        # the binary packet kernel's 18.8 (equal on sorted bounce rays) —
+        # the 8 slab tests per step on the full tile made it vector-bound.
+        # Kept for the group-cursor experiments; see docs/DESIGN.md.
+        if _os.environ.get("CRT_WIDE", "0") == "1":
+            from cpu_ray_tracer_tpu.accel import wide as wide_mod
+
+            try:
+                packed_wide = wide_mod.pack_wide_host(
+                    host_pack["node_min"], host_pack["node_max"],
+                    host_pack["left"], host_pack["right"],
+                    host_pack["left_first"], host_pack["tri_count"],
+                    host_pack["tri_indices"],
+                    v0h, all_v[:, 1] - v0h, all_v[:, 2] - v0h,
+                    host_pack["root"],
+                    obj_id=np.concatenate(inst_obj, axis=0),
+                    mat_id=mat_arr,
+                )
+                # child metadata lives in SMEM; past ~256KB fall back to the
+                # binary packet kernel rather than risk a Mosaic OOM
+                if packed_wide.num_wide * 8 * 8 * 4 > 256 * 1024:
+                    packed_wide = None
+            except ValueError:
+                packed_wide = None  # field-width overflow: binary fallback
 
     scene = DeviceScene(
         tris=pool,
@@ -300,6 +326,7 @@ def compile_scene(
         grid=grid_arr,
         kd=kd_arr,
         packed=packed,
+        packed_wide=packed_wide,
         use_pallas=use_pallas and packed is not None,
     )
     return scene, info
@@ -379,7 +406,8 @@ def _build_unified_tlas(inst_v: list[np.ndarray], force_split_cap, leaf_target=N
     hit, miss = bvh_builder.thread_links(left, right, tri_count, axis, roots=[root])
     host_pack = dict(
         node_min=node_min, node_max=node_max, left_first=left_first,
-        tri_count=tri_count, tri_indices=all_idx, hit=hit, miss=miss, root=root,
+        tri_count=tri_count, left=left, right=right,
+        tri_indices=all_idx, hit=hit, miss=miss, root=root,
     )
 
     max_leaf = max(s.max_leaf for s in blas_stats)

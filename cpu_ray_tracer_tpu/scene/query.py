@@ -29,6 +29,15 @@ def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=Non
         return traverse_grid.traverse(scene.grid, scene.tris, o, d, t, any_hit=any_hit)
     if scene.accel_kind == "kdtree":
         return traverse_kd.traverse(scene.kd, scene.tris, o, d, t, any_hit=any_hit)
+    if scene.use_pallas and scene.packed_wide is not None:
+        from cpu_ray_tracer_tpu.ops.pallas import wide_bvh
+
+        interpret = jax.default_backend() != "tpu"
+        fn = wide_bvh.traverse_sorted if sort_rays else wide_bvh.traverse
+        return fn(
+            scene.packed_wide, scene.tris, o, d, t,
+            mask=mask, any_hit=any_hit, interpret=interpret,
+        )
     if scene.use_pallas and scene.packed is not None:
         from cpu_ray_tracer_tpu.ops.pallas import packet_bvh
 
@@ -224,7 +233,13 @@ def material_fields(scene, mat_id: jnp.ndarray):
         axis=1,
     )
     oh = jax.nn.one_hot(mat_id, m.count, dtype=jnp.float32)
-    f = jnp.dot(oh, table, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the default TPU matmul rounds the f32 table through
+    # bf16, shifting reflectivity/refractivity lobe thresholds by ~0.4% vs
+    # the reference's exact values; the [R, M] @ [M, 10] matmul is tiny.
+    f = jnp.dot(
+        oh, table, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return dict(
         albedo=f[..., 0:3],
         reflectivity=f[..., 3],

@@ -50,6 +50,10 @@ class DeviceScene:
     # packed layout for the Pallas packet-traversal kernel (accel/pack.py);
     # present when accel_kind == "bvh" and use_pallas is set
     packed: object = None  # PackedBVH
+    # wide (8-ary) layout for the wide packet kernel (accel/wide.py); when
+    # present it is preferred over `packed` — the binary layout is kept as
+    # the fallback (huge scenes whose child-metadata table outgrows SMEM)
+    packed_wide: object = None  # PackedWideBVH
     use_pallas: bool = struct.field(pytree_node=False, default=False)
 
 

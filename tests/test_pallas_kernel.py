@@ -5,9 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from cpu_ray_tracer_tpu.accel import bvh_builder, pack
+from cpu_ray_tracer_tpu.accel import wide as wide_mod
 from cpu_ray_tracer_tpu.accel.compile import compile_bvh, make_triangle_pool
 from cpu_ray_tracer_tpu.ops import intersect
-from cpu_ray_tracer_tpu.ops.pallas import packet_bvh
+from cpu_ray_tracer_tpu.ops.pallas import packet_bvh, wide_bvh
 
 
 def random_scene(rng, n):
@@ -32,6 +33,19 @@ class TestPacking:
         slots = np.asarray(pk.slot_tri)
         present = set(slots[slots >= 0].tolist())
         assert present == set(range(200))
+
+    def test_slot_meta_mat_id_5bit_guard(self):
+        # regression (ADVICE r1): mat_id rides in bits 26-31 of a SIGNED
+        # int32 whose sign bit is the -1 pad sentinel; mat_id = 32 would set
+        # bit 31 and make real hits decode as misses.  make_slot_meta must
+        # refuse anything that does not fit 5 bits.
+        slot_tri = np.array([0, 1, -1], np.int32)
+        obj = np.array([2, 3], np.int32)
+        ok = pack.make_slot_meta(slot_tri, obj, np.array([31, 31], np.int32))
+        meta = np.asarray(ok)
+        assert (meta[:2] >= 0).all() and meta[2] == -1
+        assert ((meta[:2] >> 26) & 0x3F).tolist() == [31, 31]
+        assert pack.make_slot_meta(slot_tri, obj, np.array([31, 32], np.int32)) is None
 
     def test_node_record_roundtrip(self, rng):
         tri_v, pool, bvh, pk = random_scene(rng, 64)
@@ -102,6 +116,84 @@ class TestKernelInterpret:
         res = packet_bvh.traverse(pk, pool, o, d, jnp.array([1e34], jnp.float32), interpret=True)
         assert int(res["tri_idx"][0]) >= 0
         np.testing.assert_allclose(float(res["t"][0]), 2.0, rtol=1e-5)
+
+
+def wide_scene(rng, n, force_split_cap=8):
+    base = rng.uniform(-4, 4, size=(n, 1, 3))
+    tri_v = (base + rng.normal(0, 0.4, size=(n, 3, 3))).astype(np.float32)
+    pool = make_triangle_pool(tri_v)
+    host, idx, _ = bvh_builder.build_bvh(tri_v, force_split_cap=force_split_cap)
+    v0 = tri_v[:, 0]
+    pw = wide_mod.pack_wide_host(
+        host.node_min, host.node_max, host.left, host.right,
+        host.left_first, host.tri_count, idx,
+        v0, tri_v[:, 1] - v0, tri_v[:, 2] - v0, 0,
+    )
+    return tri_v, pool, host, pw
+
+
+class TestWideCollapse:
+    def test_every_leaf_once_and_slots_cover(self, rng):
+        tri_v, pool, host, pw = wide_scene(rng, 300)
+        kids, depth = wide_mod.collapse_wide(
+            host.left, host.right, host.tri_count, host.node_min, host.node_max, 0
+        )
+        leaf_ids = [c[0] for w in kids for c in w if c[1] < 0]
+        expect = np.where(host.tri_count > 0)[0]
+        assert sorted(leaf_ids) == sorted(expect.tolist())
+        wide_ids = [c[1] for w in kids for c in w if c[1] >= 0]
+        assert sorted(wide_ids) == list(range(1, len(kids)))  # each wide node is a child once
+        slots = np.asarray(pw.slot_tri)
+        assert set(slots[slots >= 0].tolist()) == set(range(300))
+
+    def test_meta_and_rows_shapes(self, rng):
+        _, _, _, pw = wide_scene(rng, 64)
+        assert pw.node_rows.shape[0] == 8
+        assert pw.node_rows.shape[1] == pw.num_wide
+        assert pw.meta.shape == (8 * pw.num_wide * 8,)
+
+
+class TestWideKernelInterpret:
+    def test_matches_brute_force(self, rng):
+        tri_v, pool, host, pw = wide_scene(rng, 256)
+        o, d = random_rays(rng, 1024)
+        t0 = jnp.full((1024,), 1e34, jnp.float32)
+        res = wide_bvh.traverse(pw, pool, o, d, t0, interpret=True)
+        bt, bu, bv, btri = intersect.brute_force_nearest(o, d, t0, pool.v0, pool.e1, pool.e2)
+        np.testing.assert_allclose(np.asarray(res["t"]), np.asarray(bt), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(res["tri_idx"]), np.asarray(btri))
+
+    def test_mask_and_any_hit(self, rng):
+        tri_v, pool, host, pw = wide_scene(rng, 128)
+        o, d = random_rays(rng, 700)
+        t0 = jnp.full((700,), 1e34, jnp.float32)
+        mask = jnp.ones((700,), jnp.float32).at[::2].set(0.0)
+        res = wide_bvh.traverse(pw, pool, o, d, t0, mask=mask, interpret=True)
+        bt, _, _, btri = intersect.brute_force_nearest(o, d, t0, pool.v0, pool.e1, pool.e2)
+        tri = np.asarray(res["tri_idx"])
+        assert (tri[::2] == -1).all()
+        np.testing.assert_array_equal(tri[1::2], np.asarray(btri)[1::2])
+        anyh = wide_bvh.traverse(pw, pool, o, d, t0, any_hit=True, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(res["tri_idx"])[1::2] >= 0, np.asarray(anyh["tri_idx"])[1::2] >= 0
+        )
+
+    def test_shadow_t_max_single_tri(self, rng):
+        tri_v = np.array([[[-5, -5, 2], [5, -5, 2], [0, 5, 2]]], np.float32)
+        pool = make_triangle_pool(tri_v)
+        host, idx, _ = bvh_builder.build_bvh(tri_v, force_split_cap=8)
+        v0 = tri_v[:, 0]
+        pw = wide_mod.pack_wide_host(
+            host.node_min, host.node_max, host.left, host.right,
+            host.left_first, host.tri_count, idx,
+            v0, tri_v[:, 1] - v0, tri_v[:, 2] - v0, 0,
+        )
+        o = jnp.zeros((1, 3))
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        far = wide_bvh.traverse(pw, pool, o, d, jnp.array([1e34], jnp.float32), interpret=True)
+        near = wide_bvh.traverse(pw, pool, o, d, jnp.array([1.5], jnp.float32), interpret=True)
+        assert int(far["tri_idx"][0]) == 0
+        assert int(near["tri_idx"][0]) == -1
 
 
 class TestPallasSceneIntegration:
