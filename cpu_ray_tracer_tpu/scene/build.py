@@ -82,12 +82,12 @@ def compile_scene(
     leaf_target: int | None = None,
 ) -> tuple[DeviceScene, SceneInfo]:
     """`layout` picks FileScene ("mono") vs TLASFileScene ("tlas") semantics;
-    `accel` picks the structure (USE_BVH / USE_Grid / USE_KDTree).  Grid and
-    KD-tree are currently monolithic-only (the reference's TLASGrid /
-    TLASKDTree are byte-identical clones of TLASBVH over different BLAS
-    types; here the TLAS path always uses the fused threaded BVH forest)."""
-    if layout == "tlas" and accel != "bvh":
-        raise NotImplementedError("grid/kdtree accel requires layout='mono'")
+    `accel` picks the structure (USE_BVH / USE_Grid / USE_KDTree).  For
+    layout="tlas" with grid/kdtree, one grid/KD tree is built per instance
+    over its world-baked triangles and traversal chains the instances with a
+    shared running t — the TPU equivalent of the reference's TLASGrid /
+    TLASKDTree (infra/tlas_grid.cpp:17-111, infra/tlas_kdtree.cpp:17-111,
+    byte-identical clones of TLASBVH over different BLAS types)."""
     import jax
 
     if use_pallas is None:
@@ -239,6 +239,26 @@ def compile_scene(
             build_stats=stats,
             blas_stats=blas_stats,
         )
+        if accel == "grid":
+            from cpu_ray_tracer_tpu.accel import grid_builder
+
+            grids, tri_base = [], 0
+            for v in inst_v:
+                ghost, gstats = grid_builder.build_grid(v)
+                ghost["cell_tris"] = ghost["cell_tris"] + tri_base
+                grids.append(grid_builder.to_device(ghost))
+                tri_base += v.shape[0]
+            grid_arr = tuple(grids)
+        elif accel == "kdtree":
+            from cpu_ray_tracer_tpu.accel import kdtree_builder
+
+            kds, tri_base = [], 0
+            for v in inst_v:
+                khost, kstats = kdtree_builder.build_kdtree(v)
+                khost["tri_ids"] = khost["tri_ids"] + tri_base
+                kds.append(kdtree_builder.to_device(khost))
+                tri_base += v.shape[0]
+            kd_arr = tuple(kds)
 
     # ---- light / floor ---------------------------------------------------
     light_t = vm.mat_translate(tuple(spec.light_pos))

@@ -13,7 +13,7 @@ from cpu_ray_tracer_tpu import constants
 from cpu_ray_tracer_tpu.core import materials as mat_mod
 from cpu_ray_tracer_tpu.core import textures as tex_mod
 from cpu_ray_tracer_tpu.core import vecmath as vm
-from cpu_ray_tracer_tpu.ops import intersect, traverse_bvh, traverse_grid, traverse_kd
+from cpu_ray_tracer_tpu.ops import forest, intersect, traverse_bvh, traverse_grid, traverse_kd
 from cpu_ray_tracer_tpu.scene.types import DeviceScene
 from cpu_ray_tracer_tpu.scene import primitive_scene as prim_scene
 
@@ -26,8 +26,16 @@ def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=Non
     the reference's USE_BVH/USE_Grid/USE_KDTree defines (file_scene.h:10-12);
     every accelerator answers the same query contract."""
     if scene.accel_kind == "grid":
+        if isinstance(scene.grid, (tuple, list)):  # tlas layout: BLAS forest
+            return forest.traverse_forest(
+                traverse_grid.traverse, scene.grid, scene.tris, o, d, t, any_hit=any_hit
+            )
         return traverse_grid.traverse(scene.grid, scene.tris, o, d, t, any_hit=any_hit)
     if scene.accel_kind == "kdtree":
+        if isinstance(scene.kd, (tuple, list)):
+            return forest.traverse_forest(
+                traverse_kd.traverse, scene.kd, scene.tris, o, d, t, any_hit=any_hit
+            )
         return traverse_kd.traverse(scene.kd, scene.tris, o, d, t, any_hit=any_hit)
     if scene.use_pallas and scene.packed_wide is not None:
         from cpu_ray_tracer_tpu.ops.pallas import wide_bvh

@@ -146,3 +146,15 @@ class TestAccelInterchange:
             imgs[accel] = np.asarray(whitted.render(scene, small_cam)["image"])
         np.testing.assert_allclose(imgs["grid"], imgs["bvh"], atol=2e-3, rtol=1e-3)
         np.testing.assert_allclose(imgs["kdtree"], imgs["bvh"], atol=2e-3, rtol=1e-3)
+
+    def test_tlas_grid_and_kdtree_match_bvh(self, small_cam):
+        """TLASGrid / TLASKDTree equivalents (per-instance BLAS structures
+        chained under the tlas layout, ops/forest.py) — multi-instance scene
+        so the forest actually has >1 member."""
+        imgs = {}
+        for accel in ("bvh", "grid", "kdtree"):
+            scene, info = compile_scene(BENCH_XML, layout="tlas", accel=accel)
+            assert info.object_count == 3
+            imgs[accel] = np.asarray(whitted.render(scene, small_cam)["image"])
+        np.testing.assert_allclose(imgs["grid"], imgs["bvh"], atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(imgs["kdtree"], imgs["bvh"], atol=2e-3, rtol=1e-3)
