@@ -211,22 +211,43 @@ def build_bvh(
 
 def refit_bvh(host, tri_indices: np.ndarray, tri_v: np.ndarray) -> None:
     """Bottom-up bounds refit after vertex motion, topology unchanged
-    (BVH::Refit, infra/bvh.cpp:26-43).  Node indices grow root->children, so
-    one reverse sweep sees children before parents.  Threaded links stay
-    valid (they encode topology, not bounds).  In-place on `host`."""
+    (BVH::Refit, infra/bvh.cpp:26-43), fully vectorized: leaves via one
+    segmented min/max over the leaf-partitioned tri order, interiors via
+    <= tree-height numpy sweeps.  Threaded links stay valid (they encode
+    topology, not bounds).  In-place on `host`."""
     tmin = tri_v.min(axis=1)
     tmax = tri_v.max(axis=1)
     m = host.nodes_used
-    for node in range(m - 1, -1, -1):
-        c = host.tri_count[node]
-        if c > 0:
-            sl = tri_indices[host.left_first[node] : host.left_first[node] + c]
-            host.node_min[node] = tmin[sl].min(axis=0)
-            host.node_max[node] = tmax[sl].max(axis=0)
-        else:
-            li, ri = host.left[node], host.right[node]
-            host.node_min[node] = np.minimum(host.node_min[li], host.node_min[ri])
-            host.node_max[node] = np.maximum(host.node_max[li], host.node_max[ri])
+    if m == 0:
+        return
+    tc = host.tri_count[:m]
+    leaf = tc > 0
+
+    # Leaves, all at once: leaf slices partition tri_indices, so a segmented
+    # min/max (reduceat over slice starts in address order) covers them in
+    # one vectorized pass.
+    smin = tmin[tri_indices]
+    smax = tmax[tri_indices]
+    leaf_ids = np.nonzero(leaf)[0]
+    order = np.argsort(host.left_first[leaf_ids], kind="stable")
+    leaf_ids = leaf_ids[order]
+    starts = host.left_first[leaf_ids]
+    host.node_min[leaf_ids] = np.minimum.reduceat(smin, starts, axis=0)
+    host.node_max[leaf_ids] = np.maximum.reduceat(smax, starts, axis=0)
+
+    # Interiors level by level (children always carry larger indices, so
+    # readiness propagates bottom-up in <= tree-height vectorized sweeps).
+    li = host.left[:m]
+    ri = host.right[:m]
+    done = leaf.copy()
+    while not done.all():
+        ready = (~done) & done[li] & done[ri]
+        ids = np.nonzero(ready)[0]
+        if ids.size == 0:
+            raise RuntimeError("refit_bvh: malformed topology (no ready nodes)")
+        host.node_min[ids] = np.minimum(host.node_min[li[ids]], host.node_min[ri[ids]])
+        host.node_max[ids] = np.maximum(host.node_max[li[ids]], host.node_max[ri[ids]])
+        done[ids] = True
 
 
 def thread_links(

@@ -52,6 +52,14 @@ class PackedBVH:
     # [R_t * 8] i32: tri(20 bits) | obj(6) << 20 | mat(6) << 26, -1 pad —
     # ONE gather recovers all three hit ids (gathers cost ~per-index on TPU)
     slot_meta: jnp.ndarray = None
+    # SMEM scalar node tables (the fast fetch path): a node step becomes ~10
+    # native scalar loads broadcast straight into the slab test — no VMEM row
+    # fetch, no lane rotate, no scalar extracts.  96 B/node total, so they
+    # fit the ~512 KB SMEM budget up to ~5k nodes; traverse() falls back to
+    # the VMEM row path beyond that.
+    node_aabb: jnp.ndarray = None  # f32 [6, M]: bmin xyz, bmax xyz
+    node_meta2: jnp.ndarray = None  # i32 [2, M]: leaf first tri ROW, nrows (0 = interior)
+    node_links: jnp.ndarray = None  # i32 [8, 2, M]: per-octant hit/miss links
     root: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)
     # world bounds (host floats) for spatial ray-sort quantization
@@ -138,11 +146,21 @@ def pack_bvh(
                 rec[lane + F_NROWS] = float(leaf_nrows[n])
             rec[lane + F_HIT] = float(hit[o, n])
             rec[lane + F_MISS] = float(miss[o, n])
+    node_aabb = np.concatenate(
+        [host_bvh.node_min[:m].T, host_bvh.node_max[:m].T], axis=0
+    ).astype(np.float32)  # [6, M]
+    node_meta2 = np.stack(
+        [leaf_row_start[:m], np.where(is_leaf[:m], leaf_nrows[:m], 0)]
+    ).astype(np.int32)  # [2, M]
+    node_links = np.stack([hit[:, :m], miss[:, :m]], axis=1).astype(np.int32)  # [8, 2, M]
     return PackedBVH(
         node_rows=jnp.asarray(node_rows),
         tri_rows=jnp.asarray(tri_rows),
         slot_tri=jnp.asarray(slot_tri),
         tri_shade_rows=jnp.asarray(tri_shade_rows) if tri_shade_rows is not None else None,
+        node_aabb=jnp.asarray(node_aabb),
+        node_meta2=jnp.asarray(node_meta2),
+        node_links=jnp.asarray(node_links),
         root=0,
         num_nodes=m,
         world_min=tuple(float(x) for x in host_bvh.node_min[0]),

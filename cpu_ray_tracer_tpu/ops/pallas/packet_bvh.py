@@ -56,6 +56,17 @@ import os as _os
 TILE = int(_os.environ.get("CRT_PACKET_TILE", "8192"))  # rays per tile
 TILE_SHAPE = (TILE // 128, 128)
 UNROLL = int(_os.environ.get("CRT_PACKET_UNROLL", "2"))  # node steps per loop iter
+# Independent cursor groups per tile: each group of TILE/GROUPS rays follows
+# its own node cursor (own majority octant, own subtree path).  >1 shrinks
+# each packet's node union AND interleaves independent scalar fetch chains
+# (the kernel's bound resource).  1 = classic whole-tile packet.
+GROUPS = int(_os.environ.get("CRT_PACKET_GROUPS", "1"))
+assert TILE_SHAPE[0] % max(GROUPS, 1) == 0, "GROUPS must divide tile sublanes"
+GSUB = TILE_SHAPE[0] // max(GROUPS, 1)  # sublanes per cursor group
+# SMEM scalar node tables: on (1 = default) uses pk.node_aabb/meta2/links for
+# the per-step fetch when they fit the budget; 0 forces the VMEM row path.
+SMEM_NODES = _os.environ.get("CRT_SMEM_NODES", "1") != "0"
+SMEM_BUDGET = int(_os.environ.get("CRT_SMEM_BUDGET", str(480 * 1024)))  # bytes
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
 
@@ -69,18 +80,24 @@ def _select_record(row128: jnp.ndarray, sub: jnp.ndarray, n_per_row: int, rec_f:
 
 
 def _kernel(
-    oct_ref,  # SMEM [T] i32 per-tile octant
+    oct_ref,  # SMEM [T, G] i32 per-cursor-group octant
     ox_ref, oy_ref, oz_ref,  # VMEM [8,128] blocks per tile
     dx_ref, dy_ref, dz_ref,
     t0_ref, mask_ref,
-    nodes_ref,  # VMEM [8, Rn, 128] full
-    tris_ref,  # VMEM [Rt, 128] full
-    *rest,  # [shade_ref,] outputs...
+    *node_and_rest,
     root: int,
     any_hit: bool,
     max_steps: int,
     with_shade: bool,
+    smem: bool,
 ):
+    # node data: either one VMEM row table, or three SMEM scalar tables
+    if smem:
+        aabb_ref, meta_ref, links_ref, tris_ref = node_and_rest[:4]
+        rest = node_and_rest[4:]
+    else:
+        nodes_ref, tris_ref = node_and_rest[:2]
+        rest = node_and_rest[2:]
     if with_shade:
         shade_ref = rest[0]
         (t_ref, u_ref, v_ref, slot_ref, trav_ref, test_ref,
@@ -88,47 +105,73 @@ def _kernel(
     else:
         t_ref, u_ref, v_ref, slot_ref, trav_ref, test_ref = rest
     pid = pl.program_id(0)
-    o8 = oct_ref[pid]
 
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    # reciprocal directions (template/ray.h:19)
-    rdx = 1.0 / dx
-    rdy = 1.0 / dy
-    rdz = 1.0 / dz
-    mask = mask_ref[0] > 0.5
+    def group_inputs(g):
+        s = slice(g * GSUB, (g + 1) * GSUB)
+        ox, oy, oz = ox_ref[0][s], oy_ref[0][s], oz_ref[0][s]
+        dx, dy, dz = dx_ref[0][s], dy_ref[0][s], dz_ref[0][s]
+        # reciprocal directions (template/ray.h:19)
+        return (
+            ox, oy, oz, dx, dy, dz,
+            1.0 / dx, 1.0 / dy, 1.0 / dz,
+            mask_ref[0][s] > 0.5,
+            oct_ref[pid, g],
+        )
+
+    gin = [group_inputs(g) for g in range(GROUPS)]
 
     def cond(c):
-        cur, t, u, v, slot, trav, test, steps = c[:8]
-        go = (cur >= 0) & (steps < max_steps)
-        if any_hit:
-            # a lane still "needs" traversal while it has no hit; derived
-            # from `slot` so no extra bool carry (Mosaic layout bug with i1
-            # carries in unrolled while bodies)
-            go = go & (jnp.sum((mask & (slot < 0)).astype(jnp.int32)) > 0)
-        return go
+        steps, groups = c
+        go = jnp.int32(0)
+        for g in range(GROUPS):
+            cur, t, u, v, slot, trav, test = groups[g][:7]
+            gg = (cur >= 0).astype(jnp.int32)
+            if any_hit:
+                # a lane still "needs" traversal while it has no hit; derived
+                # from `slot` so no extra bool carry (Mosaic layout bug with
+                # i1 carries in unrolled while bodies)
+                mask = gin[g][9]
+                gg = gg * (jnp.sum((mask & (slot < 0)).astype(jnp.int32)) > 0).astype(jnp.int32)
+            go = go + gg
+        return (go > 0) & (steps < max_steps)
 
-    def step(c):
+    def group_step(g, c):
+        ox, oy, oz, dx, dy, dz, rdx, rdy, rdz, mask, o8 = gin[g]
         if with_shade:
-            cur, t, u, v, slot, trav, test, steps, nx, ny, nz, tu, tv, mat = c
+            cur, t, u, v, slot, trav, test, nx, ny, nz, tu, tv, mat = c
         else:
-            cur, t, u, v, slot, trav, test, steps = c
+            cur, t, u, v, slot, trav, test = c
         # safe when cur < 0 (parked): the unrolled second step may be
         # executed predicated on TPU, so reads must stay in bounds and
         # state must not advance
         active = cur >= 0
         node = jnp.maximum(cur, 0)
-        r = node // NODES_PER_ROW
-        sub = node % NODES_PER_ROW
-        row = nodes_ref[o8, pl.ds(r, 1), :]  # (1, 128)
-        rec = _select_record(row, sub, NODES_PER_ROW, NODE_F)  # (1, 16)
-        bminx, bminy, bminz = rec[0, F_BMIN], rec[0, F_BMIN + 1], rec[0, F_BMIN + 2]
-        bmaxx, bmaxy, bmaxz = rec[0, F_BMAX], rec[0, F_BMAX + 1], rec[0, F_BMAX + 2]
-        lf = rec[0, F_LF].astype(jnp.int32)
-        cnt = rec[0, F_CNT].astype(jnp.int32)
-        hit_link = rec[0, F_HIT].astype(jnp.int32)
-        miss_link = rec[0, F_MISS].astype(jnp.int32)
-        nrows = rec[0, F_NROWS].astype(jnp.int32)
+        if smem:
+            # scalar-table fetch: ~10 native SMEM loads, no rotate/extracts
+            bminx = aabb_ref[0, node]
+            bminy = aabb_ref[1, node]
+            bminz = aabb_ref[2, node]
+            bmaxx = aabb_ref[3, node]
+            bmaxy = aabb_ref[4, node]
+            bmaxz = aabb_ref[5, node]
+            lf = meta_ref[0, node]
+            nrows = meta_ref[1, node]
+            is_leaf = nrows > 0
+            hit_link = links_ref[o8, 0, node]
+            miss_link = links_ref[o8, 1, node]
+        else:
+            r = node // NODES_PER_ROW
+            sub = node % NODES_PER_ROW
+            row = nodes_ref[o8, pl.ds(r, 1), :]  # (1, 128)
+            rec = _select_record(row, sub, NODES_PER_ROW, NODE_F)  # (1, 16)
+            bminx, bminy, bminz = rec[0, F_BMIN], rec[0, F_BMIN + 1], rec[0, F_BMIN + 2]
+            bmaxx, bmaxy, bmaxz = rec[0, F_BMAX], rec[0, F_BMAX + 1], rec[0, F_BMAX + 2]
+            lf = rec[0, F_LF].astype(jnp.int32)
+            cnt = rec[0, F_CNT].astype(jnp.int32)
+            is_leaf = cnt > 0
+            hit_link = rec[0, F_HIT].astype(jnp.int32)
+            miss_link = rec[0, F_MISS].astype(jnp.int32)
+            nrows = rec[0, F_NROWS].astype(jnp.int32)
 
         # broadcast slab test (infra/bvh.cpp:181-190)
         tx1 = (bminx - ox) * rdx
@@ -148,7 +191,6 @@ def _kernel(
             lane_hit = lane_hit & (slot < 0)
         n_hit = jnp.sum(lane_hit.astype(jnp.int32))
         any_lane = n_hit > 0
-        is_leaf = cnt > 0
 
         trav = trav + jnp.where(mask & active, 1, 0)
 
@@ -235,55 +277,68 @@ def _kernel(
         descend = any_lane & (~is_leaf)
         cur = jnp.where(active, jnp.where(descend, hit_link, miss_link), cur)
         if with_shade:
-            return cur, t, u, v, slot, trav, test, steps + 1, nx, ny, nz, tu, tv, mat
-        return cur, t, u, v, slot, trav, test, steps + 1
+            return cur, t, u, v, slot, trav, test, nx, ny, nz, tu, tv, mat
+        return cur, t, u, v, slot, trav, test
 
     def body(c):
         # unrolled: halves/quarters while_loop bookkeeping per node step (the
-        # kernel is scalar-step bound); `step` is a no-op on a parked cursor.
+        # kernel is scalar-step bound); `group_step` is a no-op on a parked
+        # cursor.  Groups advance independent cursors — their scalar chains
+        # interleave.  With GROUPS > 1 the group loop already provides the
+        # unroll, so the explicit unroll stays at 1.
         # NOTE: the any-hit variant keeps unroll 1 — its extra `need` carry
         # trips Mosaic layout inference ("failed to legalize scf.yield")
         # when the body is unrolled on this toolchain.
-        for _ in range(1 if any_hit else UNROLL):
-            c = step(c)
-        return c
+        steps, groups = c
+        for _ in range(1 if (any_hit or GROUPS > 1) else UNROLL):
+            groups = tuple(group_step(g, groups[g]) for g in range(GROUPS))
+            steps = steps + 1
+        return steps, groups
 
     t0 = t0_ref[0]
-    init = (
-        jnp.int32(root),
-        t0,
-        jnp.zeros(TILE_SHAPE, jnp.float32),
-        jnp.zeros(TILE_SHAPE, jnp.float32),
-        jnp.full(TILE_SHAPE, -1, jnp.int32),
-        jnp.zeros(TILE_SHAPE, jnp.int32),
-        jnp.zeros(TILE_SHAPE, jnp.int32),
-        jnp.int32(0),
-    )
-    if with_shade:
-        init = init + (
-            jnp.zeros(TILE_SHAPE, jnp.float32),
-            jnp.zeros(TILE_SHAPE, jnp.float32),
-            jnp.zeros(TILE_SHAPE, jnp.float32),
-            jnp.zeros(TILE_SHAPE, jnp.float32),
-            jnp.zeros(TILE_SHAPE, jnp.float32),
-            jnp.full(TILE_SHAPE, -1, jnp.int32),
+
+    def group_init(g):
+        s = slice(g * GSUB, (g + 1) * GSUB)
+        gshape = (GSUB, 128)
+        init = (
+            jnp.int32(root),
+            t0[s],
+            jnp.zeros(gshape, jnp.float32),
+            jnp.zeros(gshape, jnp.float32),
+            jnp.full(gshape, -1, jnp.int32),
+            jnp.zeros(gshape, jnp.int32),
+            jnp.zeros(gshape, jnp.int32),
         )
-    out = jax.lax.while_loop(cond, body, init)
-    cur, t, u, v, slot, trav, test, steps = out[:8]
-    t_ref[0] = t
-    u_ref[0] = u
-    v_ref[0] = v
-    slot_ref[0] = slot
-    trav_ref[0] = trav
-    test_ref[0] = test
-    if with_shade:
-        nx, ny, nz, tu, tv, mat = out[8:]
-        nx_ref[0] = nx
-        ny_ref[0] = ny
-        nz_ref[0] = nz
-        tu_ref[0] = tu
-        tv_ref[0] = tv
-        mat_ref[0] = mat
+        if with_shade:
+            init = init + (
+                jnp.zeros(gshape, jnp.float32),
+                jnp.zeros(gshape, jnp.float32),
+                jnp.zeros(gshape, jnp.float32),
+                jnp.zeros(gshape, jnp.float32),
+                jnp.zeros(gshape, jnp.float32),
+                jnp.full(gshape, -1, jnp.int32),
+            )
+        return init
+
+    carry = (jnp.int32(0), tuple(group_init(g) for g in range(GROUPS)))
+    steps, groups = jax.lax.while_loop(cond, body, carry)
+    for g in range(GROUPS):
+        s = slice(g * GSUB, (g + 1) * GSUB)
+        cur, t, u, v, slot, trav, test = groups[g][:7]
+        t_ref[0, s, :] = t
+        u_ref[0, s, :] = u
+        v_ref[0, s, :] = v
+        slot_ref[0, s, :] = slot
+        trav_ref[0, s, :] = trav
+        test_ref[0, s, :] = test
+        if with_shade:
+            nx, ny, nz, tu, tv, mat = groups[g][7:]
+            nx_ref[0, s, :] = nx
+            ny_ref[0, s, :] = ny
+            nz_ref[0, s, :] = nz
+            tu_ref[0, s, :] = tu
+            tv_ref[0, s, :] = tv
+            mat_ref[0, s, :] = mat
 
 
 def _tile_arrays(x: jnp.ndarray, n_tiles: int):
@@ -312,18 +367,22 @@ def _run(
     i32 = jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32)
     out_shapes = [f32, f32, f32, i32, i32, i32]  # t u v slot traversed tested
     extra_in = []
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    smem = isinstance(node_rows, tuple)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # octants
+        smem_spec,  # octants
         *[tile_spec] * 8,  # ox..mask
-        full(3),  # nodes
+        *([smem_spec] * 3 if smem else [full(3)]),  # node tables
         full(2),  # tris
     ]
+    node_in = node_rows if smem else (node_rows,)
     if with_shade:
         out_shapes += [f32, f32, f32, f32, f32, i32]  # nx ny nz tu tv mat
         extra_in = [shade_rows]
         in_specs.append(full(2))
     kernel = functools.partial(
-        _kernel, root=root, any_hit=any_hit, max_steps=max_steps, with_shade=with_shade
+        _kernel, root=root, any_hit=any_hit, max_steps=max_steps,
+        with_shade=with_shade, smem=smem,
     )
     return pl.pallas_call(
         kernel,
@@ -332,7 +391,7 @@ def _run(
         in_specs=in_specs,
         out_specs=[tile_spec] * len(out_shapes),
         interpret=interpret,
-    )(oct_per_tile, *comps, node_rows, tri_rows, *extra_in)
+    )(oct_per_tile, *comps, *node_in, tri_rows, *extra_in)
 
 
 def traverse(
@@ -370,25 +429,38 @@ def traverse(
         mask = mask.astype(jnp.float32)
     maskp = pad1(mask, 0.0)
 
-    # per-tile majority octant (cheap: bincount over 8 buckets)
+    # per-cursor-group majority octant (cheap: bincount over 8 buckets)
     oct_ray = (
         (dx < 0).astype(jnp.int32)
         + 2 * (dy < 0).astype(jnp.int32)
         + 4 * (dz < 0).astype(jnp.int32)
-    ).reshape(n_tiles, TILE)
-    onehot = jax.nn.one_hot(oct_ray, 8, dtype=jnp.int32)  # [T, TILE, 8]
-    counts = jnp.sum(onehot * maskp.reshape(n_tiles, TILE, 1).astype(jnp.int32), axis=1)
-    oct_tile = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+    ).reshape(n_tiles, GROUPS, TILE // GROUPS)
+    onehot = jax.nn.one_hot(oct_ray, 8, dtype=jnp.int32)  # [T, G, TILE/G, 8]
+    counts = jnp.sum(
+        onehot * maskp.reshape(n_tiles, GROUPS, TILE // GROUPS, 1).astype(jnp.int32),
+        axis=2,
+    )
+    oct_tile = jnp.argmax(counts, axis=-1).astype(jnp.int32)  # [T, G]
 
     comps = [
         _tile_arrays(x, n_tiles) for x in (ox, oy, oz, dx, dy, dz, t0p, maskp)
     ]
     max_steps = 4 * pk.num_nodes + 16
     with_shade = pk.tri_shade_rows is not None and not any_hit
+    # prefer the SMEM scalar-table fetch (no rotate/extract chain) when the
+    # tables fit the SMEM budget; fall back to VMEM rows for huge scenes
+    use_smem = (
+        SMEM_NODES
+        and pk.node_aabb is not None
+        and pk.num_nodes * 96 <= SMEM_BUDGET
+    )
+    node_in = (
+        (pk.node_aabb, pk.node_meta2, pk.node_links) if use_smem else pk.node_rows
+    )
     outs = _run(
         oct_tile,
         tuple(comps),
-        pk.node_rows,
+        node_in,
         pk.tri_rows,
         pk.tri_shade_rows if with_shade else pk.tri_rows,
         root=pk.root,

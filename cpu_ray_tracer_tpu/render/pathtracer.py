@@ -122,7 +122,9 @@ def sample_radiance(
 ):
     """Estimate radiance along rays (o, d) [R, 3] with per-ray uint32 seeds.
 
-    Returns (radiance [R, 3] in the INPUT ray order, stats dict).
+    Returns (radiance [R, 3] in the INPUT ray order, stats dict).  The
+    per-ray stats (traversed/tested) are in internal compaction order —
+    use them only through permutation-invariant reductions.
     `compaction_chunks`: chunks per bounce >= 1 (default 4 when divisible;
     1 disables skipping)."""
     import os as _os
@@ -243,51 +245,98 @@ def sample_radiance(
     # version compiled 20+ identical pallas kernels and took minutes.
     chunk = r // compaction_chunks
 
+    def sort_state(st):
+        perm = _compaction_perm(scene, st["o"], st["d"], st["alive"])
+        return _permute_state(st, perm)
+
     def depth_body(carry, depth):
+        """One bounce depth at the carried state's (static) width: global
+        compaction resort, then chunked bounce with dead-chunk skipping."""
         state, rays_traced = carry
+        w = state["alive"].shape[0]
+        n_chunks = max(w // chunk, 1)
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))
         rays_traced = rays_traced + n_alive
-        perm = _compaction_perm(scene, state["o"], state["d"], state["alive"])
-        state = _permute_state(state, perm)
+        if n_chunks > 1:
+            state = sort_state(state)
         chunked = {
-            k: state[k].reshape(compaction_chunks, chunk, *state[k].shape[1:])
+            k: state[k].reshape(n_chunks, w // n_chunks, *state[k].shape[1:])
             for k in _RAY_KEYS
         }
+        # per-chunk live counts (exact skip: dead rays never resurrect)
+        chunk_alive = jnp.sum(
+            state["alive"].reshape(n_chunks, w // n_chunks).astype(jnp.int32),
+            axis=1,
+        )
 
         def chunk_body(_, inp):
-            piece, cidx = inp
-            # the sort parks dead rays at the tail: a chunk whose slots lie
-            # wholly past the live count is a no-op — skip it entirely
+            piece, calive = inp
             out = jax.lax.cond(
-                n_alive > cidx * chunk,
+                calive > 0,
                 lambda p: bounce(depth, p),
                 lambda p: p,
                 piece,
             )
             return None, out
 
-        _, chunked = jax.lax.scan(
-            chunk_body, None, (chunked, jnp.arange(compaction_chunks))
-        )
+        _, chunked = jax.lax.scan(chunk_body, None, (chunked, chunk_alive))
         state = {
-            k: chunked[k].reshape(r, *chunked[k].shape[2:]) for k in _RAY_KEYS
+            k: chunked[k].reshape(w, *chunked[k].shape[2:]) for k in _RAY_KEYS
         }
         return (state, rays_traced), None
 
+    # Depths 1..2 run at full width.  Deeper bounces usually have few
+    # survivors, yet the full-width resort costs ~22ms/depth at 1M rays on
+    # v5e (argsort 6 + 24-lane permute gather 16) regardless of liveness —
+    # so depths >= 3 run on a statically NARROWED r/4 buffer when the live
+    # set fits (lax.cond; the full-width scan remains as the fallback for
+    # mirror-box-style scenes where >25% of paths survive 3 bounces).  The
+    # chunk width is identical in both tiers, so the Pallas kernels and the
+    # traced bounce body are shared.
+    shallow = min(depth_limit, 2)
     if depth_limit >= 1:
         (state, rays_traced), _ = jax.lax.scan(
-            depth_body, (state, rays_traced), jnp.arange(1, depth_limit + 1)
+            depth_body, (state, rays_traced), jnp.arange(1, shallow + 1)
         )
+    narrow_w = 4 * chunk
+    if depth_limit >= 3:
+        deep = jnp.arange(3, depth_limit + 1)
+
+        def deep_full(carry):
+            (st, rt), _ = jax.lax.scan(depth_body, carry, deep)
+            return st, rt
+
+        def deep_narrow(carry):
+            st, rt = carry
+            st = sort_state(st)  # compact live rays into the prefix
+            head = {k: st[k][:narrow_w] for k in _RAY_KEYS}
+            tail = {k: st[k][narrow_w:] for k in _RAY_KEYS}
+            (head, rt), _ = jax.lax.scan(depth_body, (head, rt), deep)
+            st = {
+                k: jnp.concatenate([head[k], tail[k]], axis=0)
+                for k in _RAY_KEYS
+            }
+            return st, rt
+
+        n_live = jnp.sum(state["alive"].astype(jnp.int32))
+        if r > narrow_w:
+            state, rays_traced = jax.lax.cond(
+                n_live <= narrow_w, deep_narrow, deep_full, (state, rays_traced)
+            )
+        else:
+            state, rays_traced = deep_full((state, rays_traced))
 
     radiance = state["radiance"] + state["miss_tp"] * query.sky_color(scene, state["miss_d"])
-    # un-permute to the caller's ray order
+    # un-permute radiance to the caller's ray order.  TPU scatters cost
+    # ~15ms per 1M rows regardless of lane count, so this is the ONLY
+    # scatter: traversed/tested are returned in internal compaction order —
+    # every consumer (traversal_summary) reduces them, which is
+    # permutation-invariant.
     out = jnp.zeros((r, 3), jnp.float32).at[state["pixel"]].set(radiance)
-    traversed = jnp.zeros((r,), jnp.int32).at[state["pixel"]].set(state["traversed"])
-    tested = jnp.zeros((r,), jnp.int32).at[state["pixel"]].set(state["tested"])
     return out, dict(
         rays_traced=rays_traced,
-        traversed=traversed,
-        tested=tested,
+        traversed=state["traversed"],
+        tested=state["tested"],
     )
 
 
