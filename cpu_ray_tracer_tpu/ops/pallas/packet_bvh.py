@@ -300,8 +300,13 @@ def _kernel(
     def group_init(g):
         s = slice(g * GSUB, (g + 1) * GSUB)
         gshape = (GSUB, 128)
+        # park fully-masked-out groups immediately: wavefront callers pass
+        # capacity-sized buffers whose dead tail would otherwise traverse
+        # the whole tree recording nothing
+        mask = gin[g][9]
+        cur0 = jnp.where(jnp.sum(mask.astype(jnp.int32)) > 0, root, -1).astype(jnp.int32)
         init = (
-            jnp.int32(root),
+            cur0,
             t0[s],
             jnp.zeros(gshape, jnp.float32),
             jnp.zeros(gshape, jnp.float32),

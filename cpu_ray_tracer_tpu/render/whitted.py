@@ -111,7 +111,12 @@ def _shade_level(
 def _compact_children(children, pixel, cap: int):
     """Prefix-sum scatter of up to two children per ray into a fresh level
     buffer of capacity `cap`.  Returns (o, d, inside, weight, pixel, alive,
-    dropped_count)."""
+    dropped_count).
+
+    All per-child fields ride ONE packed [*, 11] record (ints bitcast to
+    f32), so the compaction costs two scatters instead of ten — TPU scatters
+    cost ~per-index regardless of lane count."""
+    bc = jax.lax.bitcast_convert_type
     e1 = children["emit1"]
     e2 = children["emit2"]
     n1 = jnp.cumsum(e1.astype(jnp.int32))
@@ -120,26 +125,32 @@ def _compact_children(children, pixel, cap: int):
     n2 = jnp.cumsum(e2.astype(jnp.int32))
     pos2 = jnp.where(e2, total1 + n2 - 1, cap)
 
-    def scatter(vec_shape, dtype, fill):
-        return jnp.full((cap,) + vec_shape, fill, dtype)
+    pix_f = bc(pixel, jnp.float32)[:, None]
+    rec1 = jnp.concatenate(
+        [
+            children["o1"], children["d1"], children["w1"], pix_f,
+            # reflection children: inside = False
+            jnp.zeros_like(pix_f),
+        ],
+        axis=1,
+    )
+    rec2 = jnp.concatenate(
+        [
+            children["o2"], children["d2"], children["w2"], pix_f,
+            bc(children["inside2"].astype(jnp.int32), jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    # dead-slot defaults: o = w = 0, d = 1 (finite reciprocals in the
+    # kernel), pix = 0, inside = 0
+    buf = jnp.zeros((cap, 11), jnp.float32).at[:, 3:6].set(1.0)
+    buf = buf.at[pos1].set(rec1, mode="drop").at[pos2].set(rec2, mode="drop")
 
-    o = scatter((3,), jnp.float32, 0.0)
-    d = scatter((3,), jnp.float32, 1.0)
-    w = scatter((3,), jnp.float32, 0.0)
-    inside = scatter((), jnp.bool_, False)
-    pix = scatter((), jnp.int32, 0)
-
-    o = o.at[pos1].set(children["o1"], mode="drop")
-    d = d.at[pos1].set(children["d1"], mode="drop")
-    w = w.at[pos1].set(children["w1"], mode="drop")
-    pix = pix.at[pos1].set(pixel, mode="drop")
-    # reflection children: inside=False already
-
-    o = o.at[pos2].set(children["o2"], mode="drop")
-    d = d.at[pos2].set(children["d2"], mode="drop")
-    w = w.at[pos2].set(children["w2"], mode="drop")
-    pix = pix.at[pos2].set(pixel, mode="drop")
-    inside = inside.at[pos2].set(children["inside2"], mode="drop")
+    o = buf[:, 0:3]
+    d = buf[:, 3:6]
+    w = buf[:, 6:9]
+    pix = bc(buf[:, 9], jnp.int32)
+    inside = bc(buf[:, 10], jnp.int32) > 0
 
     count = total1 + n2[-1]
     slot = jnp.arange(cap)
@@ -226,3 +237,39 @@ def render(
 
 
 render_jit = jax.jit(render, static_argnames=("depth_limit", "cap_factor", "differentiable"))
+
+
+def render_adaptive(
+    scene: DeviceScene,
+    camera: cam_mod.Camera,
+    depth_limit: int = constants.DEPTH_LIMIT,
+    cap_factor: float = 1.0,
+    max_cap_factor: float = 8.0,
+    differentiable: bool = False,
+    on_grow=None,
+):
+    """Grow-or-fail child-buffer policy (host loop around `render_jit`):
+    whenever secondary rays are dropped at the capacity, double the cap
+    (recompiling for the new static shape) and re-render.  A frame that
+    still drops rays at `max_cap_factor` raises instead of returning a
+    silently darkened (biased) image.  `on_grow(dropped, new_cap_factor)`
+    is called before each retry (for CLI messaging)."""
+    cf = cap_factor
+    while True:
+        out = render_jit(
+            scene, camera, depth_limit=depth_limit, cap_factor=cf,
+            differentiable=differentiable,
+        )
+        n_dropped = int(out["dropped"])  # scalar device->host read
+        if n_dropped == 0:
+            out["cap_factor"] = cf
+            return out
+        if cf >= max_cap_factor:
+            raise RuntimeError(
+                f"whitted: {n_dropped} secondary rays still dropped at "
+                f"cap_factor={cf} (max {max_cap_factor}); refusing to return "
+                "a biased render"
+            )
+        cf = min(cf * 2.0, max_cap_factor)
+        if on_grow is not None:
+            on_grow(n_dropped, cf)

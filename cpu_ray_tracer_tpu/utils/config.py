@@ -37,6 +37,9 @@ class RenderConfig:
     spp: int = 16
     passes_per_step: int = 1  # spp per progressive step (ImGui slider 1..4)
     whitted_cap_factor: float = 1.0
+    # grow-or-fail: re-render with doubled child capacity until nothing is
+    # dropped (never silently biases); off = single render + loud WARNING
+    whitted_grow_cap: bool = True
     # output / observability
     out: str = "out.png"
     checkpoint: str = ""  # path for progressive film checkpoints

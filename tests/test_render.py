@@ -60,6 +60,28 @@ class TestWhittedGolden:
         assert img.max() > 0.01  # sky at least
         assert int(np.asarray(whitted.render(scene, small_cam)["dropped"])) == 0
 
+    def test_adaptive_cap_grows_until_no_drop(self):
+        # grow-or-fail policy: start with a deliberately tiny child buffer on
+        # a mirror/dielectric scene; render_adaptive must double the cap until
+        # nothing is dropped (or raise), never return a biased image
+        scene, info = compile_scene(BENCH_XML, layout="tlas")
+        cam = cam_mod.make_camera(24, 16)
+        grows = []
+        out = whitted.render_adaptive(
+            scene, cam, cap_factor=0.01,
+            on_grow=lambda n, cf: grows.append((n, cf)),
+        )
+        assert int(np.asarray(out["dropped"])) == 0
+        assert grows, "expected at least one cap growth at cap_factor=0.01"
+        assert out["cap_factor"] == grows[-1][1]
+        # and the grown render matches a comfortably-sized direct render
+        # (render_jit on both sides: jit FMA contraction can flip borderline
+        # edge hits vs the eager path, which is fp sensitivity, not bias)
+        ref = whitted.render_jit(scene, cam, cap_factor=4.0)
+        np.testing.assert_allclose(
+            np.asarray(out["image"]), np.asarray(ref["image"]), atol=1e-5
+        )
+
     def test_mirror_and_dielectric_branches(self, small_cam):
         # bench scene has mirror + dielectric materials; must stay finite
         scene, info = compile_scene(BENCH_XML, layout="tlas")
