@@ -81,8 +81,8 @@ def single():
 
 def sweep():
     cfgs = [
-        {},  # default: SMEM on, groups 1, tile 8192, unroll 2
-        {"CRT_SMEM_NODES": "0"},
+        # {} (default) and SMEM=0 measured 2026-08-17: default 9.15/114/72 ms,
+        # SMEM=0 14.9/137/86 ms (coherent/shuffled/bounce)
         {"CRT_PACKET_GROUPS": "2"},
         {"CRT_PACKET_GROUPS": "4"},
         {"CRT_PACKET_GROUPS": "8"},
@@ -97,7 +97,7 @@ def sweep():
         env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
         p = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,
-            timeout=560,
+            timeout=900,
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("{")]
         print(json.dumps(c), "->", line[-1] if line else f"FAIL rc={p.returncode} {p.stderr[-300:]}", flush=True)

@@ -1,0 +1,315 @@
+"""Compile Grid / KDTree structures into the packet kernel's threaded format.
+
+TPU-first redesign (VERDICT round-1 #4): the reference traverses its three
+accelerators with three scalar loops — DDA stepping for the uniform grid
+(infra/grid.cpp:94-153), recursive front-to-back descent for the KD tree
+(infra/kdtree.cpp:144-204), ordered stack walk for the BVH.  On a lockstep
+vector machine the per-ray sequential control of DDA/KD-descent is the worst
+possible shape, but all three structures answer the same question — "which
+triangle lists can this ray's interval touch, nearest first" — over a tree
+of axis-aligned regions.  So instead of three kernels we compile each
+structure into ONE canonical form: a binary threaded node graph with
+per-octant hit/miss skip links (accel/pack.py layout), traversed by the ONE
+Pallas packet kernel (ops/pallas/packet_bvh.py).
+
+* Grid: the uniform-grid BUILD is unchanged (resolution rule
+  (5N/V)^(1/3) per grid.cpp:16-22, AABB multi-insertion, CSR lists —
+  accel/grid_builder.py); non-empty cells become leaves of a median-split
+  binary tree over the cell lattice, small cell groups merged into one leaf
+  (bounded node count + row-sized leaf tests).  The packet walk visits
+  exactly the non-empty cells a DDA would (minus slab/t-culled ones),
+  in near-to-far octant order instead of strict line order.
+* KDTree: the midpoint/straddle-duplication BUILD is unchanged
+  (accel/kdtree_builder.py per kdtree.cpp:45-108); interior nodes carry
+  their IMPLIED split bounds (clipped to the member triangles' union — a
+  conservative, never-wrong cull), small subtrees are collapsed into single
+  leaves (straddle-duplicated ids deduped within a collapsed leaf), empty
+  subtrees contracted away.
+
+Traversal instrumentation (`traversed`) therefore counts threaded node
+visits, not DDA cell steps / KD stack pops — the XLA lockstep paths
+(ops/traverse_grid.py, ops/traverse_kd.py) keep the reference-exact
+counter semantics and remain the use_pallas=False path.
+
+All host-side numpy (scene-compile step, not the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _emit_leaf(tree, bmin, bmax, tri_ids):
+    tree["node_min"].append(bmin)
+    tree["node_max"].append(bmax)
+    tree["left"].append(-1)
+    tree["right"].append(-1)
+    tree["axis"].append(0)
+    tree["left_first"].append(tree["cursor"])
+    tree["tri_count"].append(len(tri_ids))
+    tree["tri_indices"].append(np.asarray(tri_ids, np.int32))
+    tree["cursor"] += len(tri_ids)
+    return len(tree["node_min"]) - 1
+
+
+def _emit_interior(tree, bmin, bmax, axis):
+    tree["node_min"].append(bmin)
+    tree["node_max"].append(bmax)
+    tree["left"].append(-1)
+    tree["right"].append(-1)
+    tree["axis"].append(axis)
+    tree["left_first"].append(0)
+    tree["tri_count"].append(0)
+    return len(tree["node_min"]) - 1
+
+
+def _new_tree():
+    return dict(
+        node_min=[], node_max=[], left=[], right=[], axis=[],
+        left_first=[], tri_count=[], tri_indices=[], cursor=0,
+    )
+
+
+def _finish(tree):
+    return dict(
+        node_min=np.asarray(tree["node_min"], np.float32).reshape(-1, 3),
+        node_max=np.asarray(tree["node_max"], np.float32).reshape(-1, 3),
+        left=np.asarray(tree["left"], np.int32),
+        right=np.asarray(tree["right"], np.int32),
+        axis=np.asarray(tree["axis"], np.int32),
+        left_first=np.asarray(tree["left_first"], np.int32),
+        tri_count=np.asarray(tree["tri_count"], np.int32),
+        tri_indices=(
+            np.concatenate(tree["tri_indices"])
+            if tree["tri_indices"]
+            else np.zeros(0, np.int32)
+        ),
+        root=0,
+    )
+
+
+def tree_from_grid(ghost: dict, leaf_target: int = 24, max_nodes: int | None = 8192):
+    """Adaptive leaf_target, as for tree_from_kd."""
+    t = leaf_target
+    while True:
+        tree = _tree_from_grid(ghost, t)
+        if max_nodes is None or tree["left"].shape[0] <= max_nodes or t > 1 << 20:
+            return tree
+        t *= 2
+
+
+def _tree_from_grid(ghost: dict, leaf_target: int = 24):
+    """Median-split binary tree over the grid's non-empty cells.
+
+    `ghost` is grid_builder.build_grid's host dict (cell ids may already be
+    globally offset for forests — tri ids are taken verbatim).
+    """
+    rx, ry, rz = ghost["resolution"]
+    cs = np.asarray(ghost["cell_start"], np.int64)
+    ct = np.asarray(ghost["cell_tris"], np.int32)
+    lens = np.diff(cs)
+    nz = np.nonzero(lens)[0]
+    bmin0 = np.asarray(ghost["bounds_min"], np.float64)
+    size = np.asarray(ghost["bounds_max"], np.float64) - bmin0
+    cell_sz = size / np.array([rx, ry, rz], np.float64)
+
+    tree = _new_tree()
+    if nz.size == 0:
+        _emit_leaf(tree, np.zeros(3, np.float32), np.full(3, -1.0, np.float32), [])
+        return _finish(tree)
+
+    ix = (nz % rx).astype(np.float64)
+    iy = ((nz // rx) % ry).astype(np.float64)
+    iz = (nz // (rx * ry)).astype(np.float64)
+    cmin = bmin0 + np.stack([ix, iy, iz], axis=1) * cell_sz
+    cmax = cmin + cell_sz
+    cell_lens = lens[nz]
+
+    def emit(sel):  # sel: index array into nz
+        gmin = cmin[sel].min(axis=0).astype(np.float32)
+        gmax = cmax[sel].max(axis=0).astype(np.float32)
+        total = int(cell_lens[sel].sum())
+        if sel.size == 1 or total <= leaf_target:
+            # dedup: a tri multi-inserted into several member cells only
+            # needs one test per leaf
+            ids = np.unique(
+                np.concatenate([ct[cs[nz[s]] : cs[nz[s] + 1]] for s in sel])
+            )
+            return _emit_leaf(tree, gmin, gmax, ids)
+        axis = int(np.argmax(gmax - gmin))
+        centers = (cmin[sel, axis] + cmax[sel, axis]) * 0.5
+        order = np.argsort(centers, kind="stable")
+        half = sel.size // 2
+        node = _emit_interior(tree, gmin, gmax, axis)
+        li = emit(sel[order[:half]])
+        ri = emit(sel[order[half:]])
+        tree["left"][node] = li
+        tree["right"][node] = ri
+        return node
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    try:
+        emit(np.arange(nz.size))
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return _finish(tree)
+
+
+def tree_from_kd(khost: dict, leaf_target: int = 24, max_nodes: int | None = 8192):
+    """Adaptive wrapper: double leaf_target until the collapsed tree fits
+    `max_nodes` (keeps the octant-replicated VMEM node table bounded —
+    straddle duplication can explode a depth-20 midpoint KD tree)."""
+    t = leaf_target
+    while True:
+        tree = _tree_from_kd(khost, t)
+        if max_nodes is None or tree["left"].shape[0] <= max_nodes or t > 1 << 20:
+            return tree
+        t *= 2
+
+
+def _tree_from_kd(khost: dict, leaf_target: int = 24):
+    """Collapse + bound the KD tree for the packet kernel.
+
+    Walks from the root propagating implied split bounds; subtrees whose
+    total (duplicated) triangle count is <= leaf_target become single leaves
+    (ids deduped — duplication only exists to make spatial partitions
+    self-contained); interior nodes with an empty child are contracted to
+    the non-empty child.  Node bounds are the implied KD region intersected
+    with the member triangles' bounding union (conservative cull: a hit
+    inside the region lies inside both boxes; hits outside the region are
+    found via the straddle duplicates in the neighbouring regions)."""
+    sa = np.asarray(khost["split_axis"], np.int32)
+    sd = np.asarray(khost["split_dist"], np.float32)
+    left = np.asarray(khost["left"], np.int32)
+    right = np.asarray(khost["right"], np.int32)
+    first = np.asarray(khost["first"], np.int32)
+    count = np.asarray(khost["count"], np.int32)
+    tri_ids = np.asarray(khost["tri_ids"], np.int32)
+    m = sa.shape[0]
+
+    # subtree totals (children are created after parents -> reverse order)
+    total = count.astype(np.int64).copy()
+    for i in range(m - 1, -1, -1):
+        if sa[i] >= 0:
+            total[i] = total[left[i]] + total[right[i]]
+
+    def gather_ids(node):
+        out = []
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if sa[n] >= 0:
+                stack.append(left[n])
+                stack.append(right[n])
+            elif count[n]:
+                out.append(tri_ids[first[n] : first[n] + count[n]])
+        return np.unique(np.concatenate(out)) if out else np.zeros(0, np.int32)
+
+    tree = _new_tree()
+    root_min = np.asarray(khost["bounds_min"], np.float32)
+    root_max = np.asarray(khost["bounds_max"], np.float32)
+    tri_bb = khost.get("tri_bounds")  # optional [N, 2, 3] for bound clipping
+
+    def emit(node, bmin, bmax):
+        # contract through empty children
+        while sa[node] >= 0:
+            le, re_ = total[left[node]] > 0, total[right[node]] > 0
+            if le and re_:
+                break
+            a, dsplit = int(sa[node]), sd[node]
+            if le:
+                bmax = bmax.copy()
+                bmax[a] = dsplit
+                node = left[node]
+            else:
+                bmin = bmin.copy()
+                bmin[a] = dsplit
+                node = right[node]
+        # collapse on the UNIQUE id count (leaves are deduped): the
+        # duplicated total only gates when gathering is worth attempting
+        ids = None
+        if sa[node] < 0:
+            ids = gather_ids(node)
+        elif total[node] <= 32 * leaf_target:
+            ids = gather_ids(node)
+            if ids.size > leaf_target:
+                ids = None
+        if ids is not None:
+            gmin, gmax = bmin, bmax
+            if tri_bb is not None and ids.size:
+                gmin = np.maximum(bmin, tri_bb[ids, 0].min(axis=0)).astype(np.float32)
+                gmax = np.minimum(bmax, tri_bb[ids, 1].max(axis=0)).astype(np.float32)
+            return _emit_leaf(tree, gmin.astype(np.float32), gmax.astype(np.float32), ids)
+        a, dsplit = int(sa[node]), sd[node]
+        me = _emit_interior(tree, bmin.astype(np.float32), bmax.astype(np.float32), a)
+        lmax = bmax.copy()
+        lmax[a] = dsplit
+        rmin = bmin.copy()
+        rmin[a] = dsplit
+        tree["left"][me] = emit(left[node], bmin.copy(), lmax)
+        tree["right"][me] = emit(right[node], rmin, bmax.copy())
+        return me
+
+    if total[0] == 0:
+        _emit_leaf(tree, np.zeros(3, np.float32), np.full(3, -1.0, np.float32), [])
+        return _finish(tree)
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    try:
+        emit(0, root_min.copy(), root_max.copy())
+    finally:
+        sys.setrecursionlimit(old_limit)
+    return _finish(tree)
+
+
+def merge_trees(trees: list[dict]):
+    """Concatenate per-instance trees into one forest (node/tri offsets
+    applied); returns (merged tree dict, roots list) for
+    thread_links(roots=...) chaining — the same fusion scheme the unified
+    TLAS BVH uses (scene/build.py)."""
+    roots = []
+    node_base = 0
+    tri_base = 0
+    parts = {k: [] for k in ("node_min", "node_max", "left", "right", "axis",
+                             "left_first", "tri_count", "tri_indices")}
+    for t in trees:
+        roots.append(node_base + t["root"])
+        m = t["left"].shape[0]
+        parts["node_min"].append(t["node_min"])
+        parts["node_max"].append(t["node_max"])
+        parts["left"].append(np.where(t["left"] >= 0, t["left"] + node_base, -1))
+        parts["right"].append(np.where(t["right"] >= 0, t["right"] + node_base, -1))
+        parts["axis"].append(t["axis"])
+        parts["left_first"].append(t["left_first"] + tri_base)
+        parts["tri_count"].append(t["tri_count"])
+        parts["tri_indices"].append(t["tri_indices"])
+        node_base += m
+        tri_base += t["tri_indices"].shape[0]
+    merged = {k: np.concatenate(v) for k, v in parts.items()}
+    merged["root"] = roots[0]
+    return merged, roots
+
+
+def pack_tree(tree, tri_v0, tri_e1, tri_e2, obj_id=None, mat_id=None, roots=None):
+    """thread + pack a (merged) cell tree for the packet kernel."""
+    from cpu_ray_tracer_tpu.accel import pack as pack_mod
+    from cpu_ray_tracer_tpu.accel.bvh_builder import thread_links
+
+    hit, miss = thread_links(
+        tree["left"], tree["right"], tree["tri_count"], tree["axis"], roots=roots
+    )
+    pk = pack_mod.pack_host(
+        tree["node_min"], tree["node_max"], tree["left_first"], tree["tri_count"],
+        tree["tri_indices"], tri_v0, tri_e1, tri_e2, hit, miss, tree["root"],
+        obj_id=obj_id, mat_id=mat_id,
+    )
+    # forest world bounds = union over all roots (spatial-sort quantization)
+    return pk.replace(
+        world_min=tuple(float(x) for x in tree["node_min"].min(axis=0)),
+        world_max=tuple(float(x) for x in tree["node_max"].max(axis=0)),
+    )

@@ -222,12 +222,14 @@ def compile_scene(
             ghost, gstats = grid_builder.build_grid(all_v)
             grid_arr = grid_builder.to_device(ghost)
             info.build_stats = gstats
+            cell_hosts = [ghost]
         elif accel == "kdtree":
             from cpu_ray_tracer_tpu.accel import kdtree_builder
 
             khost, kstats = kdtree_builder.build_kdtree(all_v)
             kd_arr = kdtree_builder.to_device(khost)
             info.build_stats = kstats
+            cell_hosts = [khost]
     else:
         bvh, stats, blas_stats, host_pack = _build_unified_tlas(
             inst_v, force_split_cap, leaf_target
@@ -242,21 +244,23 @@ def compile_scene(
         if accel == "grid":
             from cpu_ray_tracer_tpu.accel import grid_builder
 
-            grids, tri_base = [], 0
+            grids, tri_base, cell_hosts = [], 0, []
             for v in inst_v:
                 ghost, gstats = grid_builder.build_grid(v)
                 ghost["cell_tris"] = ghost["cell_tris"] + tri_base
                 grids.append(grid_builder.to_device(ghost))
+                cell_hosts.append(ghost)
                 tri_base += v.shape[0]
             grid_arr = tuple(grids)
         elif accel == "kdtree":
             from cpu_ray_tracer_tpu.accel import kdtree_builder
 
-            kds, tri_base = [], 0
+            kds, tri_base, cell_hosts = [], 0, []
             for v in inst_v:
                 khost, kstats = kdtree_builder.build_kdtree(v)
                 khost["tri_ids"] = khost["tri_ids"] + tri_base
                 kds.append(kdtree_builder.to_device(khost))
+                cell_hosts.append(khost)
                 tri_base += v.shape[0]
             kd_arr = tuple(kds)
 
@@ -266,6 +270,30 @@ def compile_scene(
 
     packed = None
     packed_wide = None
+    if use_pallas and accel in ("grid", "kdtree"):
+        # compile the grid / KD structure into the packet kernel's threaded
+        # format (accel/cell_tree.py) — same build semantics, one kernel
+        from cpu_ray_tracer_tpu.accel import cell_tree
+
+        budget = max(8192 // len(cell_hosts), 512)  # merged-forest node cap
+        if accel == "grid":
+            trees = [cell_tree.tree_from_grid(h, max_nodes=budget) for h in cell_hosts]
+        else:
+            tri_bb = np.stack([all_v.min(axis=1), all_v.max(axis=1)], axis=1)
+            for h in cell_hosts:
+                h["tri_bounds"] = tri_bb  # ids are global: one shared table
+            trees = [cell_tree.tree_from_kd(h, max_nodes=budget) for h in cell_hosts]
+        if len(trees) > 1:
+            tree, roots = cell_tree.merge_trees(trees)
+        else:
+            tree, roots = trees[0], None
+        v0h = all_v[:, 0]
+        packed = cell_tree.pack_tree(
+            tree, v0h, all_v[:, 1] - v0h, all_v[:, 2] - v0h,
+            obj_id=np.concatenate(inst_obj, axis=0),
+            mat_id=np.concatenate(inst_mat, axis=0),
+            roots=roots,
+        )
     if use_pallas and accel == "bvh" and host_pack is not None:
         from cpu_ray_tracer_tpu.accel import pack as pack_mod
 

@@ -25,18 +25,21 @@ def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=Non
     """Dispatch on the scene's accelerator kind — the data-driven analog of
     the reference's USE_BVH/USE_Grid/USE_KDTree defines (file_scene.h:10-12);
     every accelerator answers the same query contract."""
-    if scene.accel_kind == "grid":
+    if scene.accel_kind == "grid" and not (scene.use_pallas and scene.packed is not None):
         if isinstance(scene.grid, (tuple, list)):  # tlas layout: BLAS forest
             return forest.traverse_forest(
                 traverse_grid.traverse, scene.grid, scene.tris, o, d, t, any_hit=any_hit
             )
         return traverse_grid.traverse(scene.grid, scene.tris, o, d, t, any_hit=any_hit)
-    if scene.accel_kind == "kdtree":
+    if scene.accel_kind == "kdtree" and not (scene.use_pallas and scene.packed is not None):
         if isinstance(scene.kd, (tuple, list)):
             return forest.traverse_forest(
                 traverse_kd.traverse, scene.kd, scene.tris, o, d, t, any_hit=any_hit
             )
         return traverse_kd.traverse(scene.kd, scene.tris, o, d, t, any_hit=any_hit)
+    # grid / kdtree with use_pallas fall through: their structures are
+    # compiled into the packet kernel's threaded format (accel/cell_tree.py)
+    # and scene.packed carries the result — one kernel, three accelerators.
     if scene.use_pallas and scene.packed_wide is not None:
         from cpu_ray_tracer_tpu.ops.pallas import wide_bvh
 

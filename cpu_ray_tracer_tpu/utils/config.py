@@ -22,6 +22,7 @@ class RenderConfig:
     layout: str = "tlas"  # "tlas" (TLASFileScene) | "mono" (FileScene)
     accel: str = "bvh"  # "bvh" | "grid" | "kdtree"
     parity: bool = False  # replicate all reference quirks bit-for-bit
+    use_pallas: str = "auto"  # "auto" (TPU only) | "true" | "false"
     shadow_quirk: bool = True
     bilinear: bool = False
     force_split_cap: int | None = 4  # None = reference SAH stopping exactly
@@ -60,6 +61,9 @@ class RenderConfig:
             bilinear=self.bilinear,
             force_split_cap=self.force_split_cap,
             shadow_quirk=self.shadow_quirk,
+            use_pallas=(
+                None if self.use_pallas == "auto" else self.use_pallas == "true"
+            ),
         )
 
     def build_camera(self):
