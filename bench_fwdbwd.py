@@ -44,7 +44,7 @@ def main():
         os.path.join(REPO, "assets", "scenes", "bunny_teapot.xml"), layout="tlas"
     )
     camera = cam_mod.make_camera(width, height, pos=(0.0, 0.3, -1.2), target=(0.0, -0.1, 2.5))
-    params = grad_mod.extract_params(scene)
+    params = grad_mod.extract_params(scene, keys=grad_mod.PARAM_KEYS)
 
     def loss_fn(params, scene, target, spp_index):
         s = grad_mod.apply_params(scene, params)
@@ -54,28 +54,28 @@ def main():
         return grad_mod.l2_image_loss(img, target), stats["rays_traced"]
 
     @jax.jit
-    def fwd_bwd(params, scene, target, spp_index, acc):
+    def fwd_bwd(params, scene, target, spp_index, acc_loss, acc_rays):
         (loss, nrays), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, scene, target, spp_index
         )
+        # accumulate the grad norm into the output so XLA cannot dead-code
+        # the backward pass (a literal *0 would be constant-folded away)
         gnorm = sum(jnp.sum(g * g) for g in jax.tree.leaves(grads))
-        return acc + loss + gnorm * 0, acc + nrays.astype(jnp.float32)
+        return acc_loss + loss + gnorm, acc_rays + nrays.astype(jnp.float32)
 
     target = jnp.zeros((height, width, 3), jnp.float32)
     # compile + warm
-    acc, nr = fwd_bwd(params, scene, target, jnp.uint32(0), jnp.float32(0.0))
+    acc, nr = fwd_bwd(params, scene, target, jnp.uint32(0), jnp.float32(0.0), jnp.float32(0.0))
     jax.block_until_ready((acc, nr))
 
     acc = jnp.float32(0.0)
     nrays = jnp.float32(0.0)
     t0 = time.perf_counter()
     for p in range(steps):
-        acc, nrays = fwd_bwd(params, scene, target, jnp.uint32(p + 1), acc)
+        acc, nrays = fwd_bwd(params, scene, target, jnp.uint32(p + 1), acc, nrays)
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
 
-    # nrays accumulated only the per-step ray count (second output reuses acc
-    # slot); recompute cleanly: nrays holds sum of rays across steps
     total_rays = float(nrays)
     rays_per_s = total_rays / dt
     print(json.dumps({

@@ -1,0 +1,98 @@
+"""Accelerator-interchange benchmark at production resolution (VERDICT #4).
+
+The reference's headline property is interchangeable accelerators
+(USE_BVH / USE_Grid / USE_KDTree, file_scene.h:10-12).  This measures, on
+the upstream inside_scene at 640x400:
+
+1. whitted images for bvh/grid/kdtree on the packet-kernel path agree
+   (allclose vs the bvh image),
+2. find_nearest throughput per accelerator: packet path vs the lockstep
+   XLA paths (DDA / short-stack) — the grid/KD >=10x claim.
+
+Run exclusively on the TPU (single process).  Writes
+benchmarks/results/interchange_r2.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+W, H = 640, 400
+XML = "/root/reference/assets/scenes/inside_scene.xml"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if os.path.isdir(os.path.join(REPO, ".jax_cache")):
+        jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+
+    from cpu_ray_tracer_tpu.core import camera as cam_mod
+    from cpu_ray_tracer_tpu.render import whitted
+    from cpu_ray_tracer_tpu.scene import query
+    from cpu_ray_tracer_tpu.scene.build import compile_scene
+
+    cam = cam_mod.make_camera(W, H)
+    rays = cam_mod.full_frame_rays(cam)
+
+    def warm():
+        x = jnp.float32(1.0)
+        g = jax.jit(lambda v: v * 1.000001)
+        for _ in range(60):
+            x = g(x)
+        x.block_until_ready()
+
+    f = jax.jit(lambda sc, o, d: query.find_nearest(sc, o, d)["t"].sum())
+
+    def time_traverse(scene, n=10):
+        out = f(scene, rays.o, rays.d)
+        jax.block_until_ready(out)
+        warm()
+        t0 = time.time()
+        for _ in range(n):
+            out = f(scene, rays.o, rays.d)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / n
+
+    result = {"resolution": [W, H], "scene": "inside_scene", "accels": {}}
+    img_ref = None
+    for accel in ("bvh", "grid", "kdtree"):
+        scene_pk, info = compile_scene(XML, layout="tlas", accel=accel, use_pallas=True)
+        ms_pk = time_traverse(scene_pk) * 1000
+        # whitted image on the packet path (device mean/diff only: d2h of a
+        # full frame is pathologically slow through the tunnel)
+        img = whitted.render_jit(scene_pk, cam)["image"]
+        entry = {
+            "packet_find_nearest_ms": round(ms_pk, 2),
+            "packet_mrays_s": round(W * H / ms_pk / 1000, 2),
+            "tris": info.triangle_count,
+        }
+        if img_ref is None:
+            img_ref = img
+            entry["img_mean"] = float(jnp.mean(img))
+        else:
+            d = jnp.abs(img - img_ref)
+            entry["img_maxdiff_vs_bvh"] = float(jnp.max(d))
+            entry["img_frac_off"] = float(jnp.mean((jnp.max(d, axis=-1) > 2e-3)))
+        if accel in ("grid", "kdtree"):
+            scene_x, _ = compile_scene(XML, layout="tlas", accel=accel, use_pallas=False)
+            ms_x = time_traverse(scene_x, n=3) * 1000
+            entry["xla_find_nearest_ms"] = round(ms_x, 2)
+            entry["packet_speedup_vs_xla"] = round(ms_x / ms_pk, 1)
+        result["accels"][accel] = entry
+        print(accel, json.dumps(entry), flush=True)
+
+    os.makedirs(os.path.join(REPO, "benchmarks", "results"), exist_ok=True)
+    with open(os.path.join(REPO, "benchmarks", "results", "interchange_r2.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

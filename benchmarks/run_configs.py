@@ -34,6 +34,57 @@ def _emit(cfg, **kw):
     print(json.dumps({"config": cfg, **kw}), flush=True)
 
 
+def _timed(fn, n=5):
+    """Steady-state timing: one call to compile, ~60 rapid trivial calls to
+    exit the tunneled TPU's idle slow-mode, then an n-call average with a
+    single final block.  (Round-1 numbers timed the FIRST call — compile +
+    cold device — and were useless as evidence; VERDICT weak #7.)"""
+    import jax
+    import jax.numpy as jnp
+
+    out = fn()
+    jax.block_until_ready(out)
+    g = jax.jit(lambda v: v * 1.000001)
+    x = jnp.float32(1.0)
+    for _ in range(60):
+        x = g(x)
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n, out
+
+
+def _timed_passes(pathtracer, scene, cam, spp):
+    """Progressive-pass timing with device-resident accumulators (no
+    per-pass host syncs) after a compile pass + slow-mode warmup."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(p0):
+        film = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+        rays = jnp.float32(0.0)
+        for p in range(p0, p0 + spp):
+            img, stats = pathtracer.render_pass_jit(scene, cam, jnp.uint32(p))
+            film = film + img
+            rays = rays + stats["rays_traced"].astype(jnp.float32)
+        return film, rays
+
+    f, r = run(0)  # compile
+    jax.block_until_ready((f, r))
+    g = jax.jit(lambda v: v * 1.000001)
+    x = jnp.float32(1.0)
+    for _ in range(60):
+        x = g(x)
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    film, rays = run(0)
+    jax.block_until_ready((film, rays))
+    dt = time.perf_counter() - t0
+    return dt, film, float(rays)
+
+
 def config1(small):
     import jax.numpy as jnp
 
@@ -43,10 +94,8 @@ def config1(small):
 
     scene, info = compile_scene(_xml("cube_scene.xml"), layout="mono")
     cam = make_camera(*(160, 120) if small else (640, 480))
-    t0 = time.perf_counter()
-    out = whitted.render_jit(scene, cam)
-    energy = float(jnp.sum(out["image"]))
-    dt = time.perf_counter() - t0
+    dt, out = _timed(lambda: whitted.render_jit(scene, cam)["image"])
+    energy = float(jnp.sum(out))
     _emit(1, scene=info.name, tris=info.triangle_count, seconds=dt, energy=energy,
           mrays_s=cam.width * cam.height / dt / 1e6)
 
@@ -75,10 +124,8 @@ def config2(small):
     )
     scene, info = compile_scene(spec=spec, layout="mono")
     cam = make_camera(*(320, 180) if small else (1280, 720))
-    t0 = time.perf_counter()
-    out = whitted.render_jit(scene, cam)
-    energy = float(jnp.sum(out["image"]))
-    dt = time.perf_counter() - t0
+    dt, out = _timed(lambda: whitted.render_jit(scene, cam)["image"])
+    energy = float(jnp.sum(out))
     _emit(2, scene=info.name, tris=info.triangle_count, seconds=dt, energy=energy,
           mrays_s=cam.width * cam.height / dt / 1e6)
 
@@ -113,17 +160,9 @@ def config3(small):
     scene, info = compile_scene(spec=spec, layout="tlas")
     cam = make_camera(*(320, 180) if small else (1280, 720))
     spp = 4 if small else 16
-    film = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
-    rays = 0.0
-    t0 = time.perf_counter()
-    for p in range(spp):
-        img, stats = pathtracer.render_pass_jit(scene, cam, jnp.uint32(p))
-        film = film + img
-        rays += float(stats["rays_traced"])
-    energy = float(jnp.sum(film) / spp)
-    dt = time.perf_counter() - t0
+    dt, film, rays = _timed_passes(pathtracer, scene, cam, spp)
     _emit(3, scene=info.name, tris=info.triangle_count, spp=spp, seconds=dt,
-          energy=energy, mrays_s=rays / dt / 1e6)
+          energy=float(jnp.sum(film) / spp), mrays_s=rays / dt / 1e6)
 
 
 def config4(small):
@@ -141,14 +180,7 @@ def config4(small):
     scene, info = compile_scene(xml, layout="tlas")
     cam = make_camera(*(320, 180) if small else (1024, 640), pos=(0, 1.0, -3.0), target=(0, 0.5, 2.0))
     spp = 4 if small else 64
-    film = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
-    rays = 0.0
-    t0 = time.perf_counter()
-    for p in range(spp):
-        img, stats = pathtracer.render_pass_jit(scene, cam, jnp.uint32(p))
-        film = film + img
-        rays += float(stats["rays_traced"])
-    dt = time.perf_counter() - t0
+    dt, film, rays = _timed_passes(pathtracer, scene, cam, spp)
     _emit(4, scene=info.name, tris=info.triangle_count, spp=spp, seconds=dt,
           energy=float(jnp.sum(film) / spp), mrays_s=rays / dt / 1e6)
 
