@@ -135,6 +135,111 @@ def _octant_order(centers: np.ndarray, octant: int) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
+# --- sublane-wide layout ---------------------------------------------------
+# The wide kernel above tests each child's AABB against the WHOLE tile —
+# 8 slab tests x full tile per step made it vector-bound (docs/DESIGN.md).
+# The sublane-wide layout instead puts the 8 children on the 8 SUBLANES and
+# 128 rays on the lanes: one (8, 128)-vreg op set tests 8 boxes x 128 rays.
+# Leaf rows get the same treatment (8 triangles on sublanes).  See
+# ops/pallas/sublane_bvh.py for the traversal.
+
+SUB_META_NROWS_SHIFT = 20  # payload bits 0-19 (tri row ptr / wide child id)
+SUB_META_NROWS_MASK = 63  # bits 20-25
+SUB_META_K_SHIFT = 26  # canonical child slot bits 26-28
+SUB_META_VALID = 1 << 29
+SUB_META_PTR_MASK = (1 << SUB_META_NROWS_SHIFT) - 1
+
+
+@struct.dataclass
+class PackedSublaneBVH:
+    node_cols: jnp.ndarray  # [W*8, 128] f32 — row 8w+k lanes 0:6 = child k bmin/bmax
+    meta: jnp.ndarray  # [8 * W * 8] i32 — per-octant near-first entries (SMEM)
+    tri_cols: jnp.ndarray  # [Rt*8, 128] f32 — row 8r+j lanes 0:9 = tri j of packed row r
+    slot_tri: jnp.ndarray  # [Rt * 8] i32 — same slot ids as the other kernels
+    slot_meta: jnp.ndarray = None
+    num_wide: int = struct.field(pytree_node=False, default=0)
+    max_stack: int = struct.field(pytree_node=False, default=64)
+    world_min: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
+    world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
+
+
+def pack_sublane_host(
+    node_min: np.ndarray,
+    node_max: np.ndarray,
+    left: np.ndarray,
+    right: np.ndarray,
+    left_first: np.ndarray,
+    tri_count: np.ndarray,
+    tri_indices: np.ndarray,
+    tri_v0: np.ndarray,
+    tri_e1: np.ndarray,
+    tri_e2: np.ndarray,
+    root: int,
+    obj_id: np.ndarray | None = None,
+    mat_id: np.ndarray | None = None,
+) -> PackedSublaneBVH:
+    """Collapse + pack a binary host BVH for the sublane-wide kernel."""
+    wide, depth = collapse_wide(left, right, tri_count, node_min, node_max, root)
+    w = len(wide)
+
+    tri_rows, _, slot_tri, leaf_row_start, leaf_nrows = pack_tri_rows(
+        left_first, tri_count, tri_indices, tri_v0, tri_e1, tri_e2
+    )
+    n_tri_rows = tri_rows.shape[0]
+    if (
+        n_tri_rows >= (1 << SUB_META_NROWS_SHIFT)
+        or w >= (1 << SUB_META_NROWS_SHIFT)
+        or int(leaf_nrows.max(initial=0)) > SUB_META_NROWS_MASK
+    ):
+        raise ValueError("scene exceeds sublane-wide meta field widths")
+
+    # transposed triangle rows: tri j of packed row r -> row 8r+j, lanes
+    # 0:9 = v0 e1 e2 (degenerate padding rows stay all-zero: MT determinant
+    # 0 never hits)
+    tri_cols = np.zeros((n_tri_rows * 8, 128), np.float32)
+    for rr in range(n_tri_rows):
+        for j in range(TRIS_PER_ROW):
+            lane = j * 16
+            tri_cols[rr * 8 + j, 0:9] = tri_rows[rr, lane : lane + 9]
+
+    node_cols = np.full((w * 8, 128), np.nan, np.float32)
+    meta = np.zeros((8, w, WIDE), np.int32)
+    for wi, kids in enumerate(wide):
+        ids = np.array([c[0] for c in kids], np.int64)
+        centers = (node_min[ids] + node_max[ids]) * 0.5
+        for slot, (bin_id, _) in enumerate(kids):
+            node_cols[wi * 8 + slot, 0:3] = node_min[bin_id]
+            node_cols[wi * 8 + slot, 3:6] = node_max[bin_id]
+        for o in range(8):
+            order = _octant_order(centers, o)
+            for j, src in enumerate(order):
+                bin_id, wide_child = kids[src]
+                if wide_child >= 0:
+                    payload, nrows = wide_child, 0
+                else:
+                    payload, nrows = int(leaf_row_start[bin_id]), int(leaf_nrows[bin_id])
+                meta[o, wi, j] = (
+                    payload
+                    | (nrows << SUB_META_NROWS_SHIFT)
+                    | (int(src) << SUB_META_K_SHIFT)
+                    | SUB_META_VALID
+                )
+
+    pk = PackedSublaneBVH(
+        node_cols=jnp.asarray(node_cols),
+        meta=jnp.asarray(meta.reshape(-1)),
+        tri_cols=jnp.asarray(tri_cols),
+        slot_tri=jnp.asarray(slot_tri),
+        num_wide=w,
+        max_stack=max(8 * (depth + 2), 64),
+        world_min=tuple(float(x) for x in node_min[root]),
+        world_max=tuple(float(x) for x in node_max[root]),
+    )
+    if obj_id is not None and mat_id is not None:
+        pk = pk.replace(slot_meta=make_slot_meta(np.asarray(slot_tri), obj_id, mat_id))
+    return pk
+
+
 def pack_wide_host(
     node_min: np.ndarray,
     node_max: np.ndarray,

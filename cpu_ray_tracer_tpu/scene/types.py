@@ -54,6 +54,10 @@ class DeviceScene:
     # present it is preferred over `packed` — the binary layout is kept as
     # the fallback (huge scenes whose child-metadata table outgrows SMEM)
     packed_wide: object = None  # PackedWideBVH
+    # sublane-wide (8 children / 8 triangles on sublanes x 128 rays on
+    # lanes) layout (accel/wide.py pack_sublane_host); preferred over both
+    # other packed layouts when present (CRT_SUBLANE=1)
+    packed_sublane: object = None  # PackedSublaneBVH
     use_pallas: bool = struct.field(pytree_node=False, default=False)
 
 
