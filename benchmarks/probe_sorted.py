@@ -91,7 +91,8 @@ def single():
 
     cfg = {k: os.environ.get(k, "") for k in (
         "CRT_PACKET_TILE", "CRT_PACKET_GROUPS", "CRT_PACKET_UNROLL",
-        "CRT_SMEM_NODES", "CRT_WIDE")}
+        "CRT_SMEM_NODES", "CRT_WIDE", "CRT_SUBLANE", "CRT_SUBLANE_BLOCKS",
+        "CRT_SORT_DIRBITS")}
     print(json.dumps(dict(
         cfg=cfg,
         sorted_bounce_ms=round(float(ms), 2),
@@ -104,13 +105,12 @@ def single():
 
 def sweep():
     cfgs = [
-        {},
+        {"CRT_SUBLANE": "1"},  # grouped-leaf rewrite
+        {"CRT_SUBLANE": "1", "CRT_SORT_DIRBITS": "2"},
+        {"CRT_SUBLANE": "1", "CRT_SUBLANE_BLOCKS": "4"},
+        {"CRT_PACKET_TILE": "4096", "CRT_SORT_DIRBITS": "2"},
+        {"CRT_PACKET_TILE": "4096", "CRT_SORT_DIRBITS": "1"},
         {"CRT_PACKET_TILE": "4096"},
-        {"CRT_PACKET_TILE": "2048"},
-        {"CRT_PACKET_TILE": "1024"},
-        {"CRT_PACKET_GROUPS": "2"},
-        {"CRT_PACKET_GROUPS": "8"},
-        {"CRT_PACKET_TILE": "2048", "CRT_PACKET_GROUPS": "2"},
     ]
     for c in cfgs:
         env = dict(os.environ, **c)

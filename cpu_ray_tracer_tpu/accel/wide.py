@@ -154,8 +154,16 @@ SUB_META_PTR_MASK = (1 << SUB_META_NROWS_SHIFT) - 1
 class PackedSublaneBVH:
     node_cols: jnp.ndarray  # [W*8, 128] f32 — row 8w+k lanes 0:6 = child k bmin/bmax
     meta: jnp.ndarray  # [8 * W * 8] i32 — per-octant near-first entries (SMEM)
-    tri_cols: jnp.ndarray  # [Rt*8, 128] f32 — row 8r+j lanes 0:9 = tri j of packed row r
-    slot_tri: jnp.ndarray  # [Rt * 8] i32 — same slot ids as the other kernels
+    # per-wide-node leaf info (SMEM, canonical): a node's leaf children's
+    # triangle rows are stored CONTIGUOUSLY in tri_cols, so a node step runs
+    # ONE fori over [leaf_start, leaf_start + leaf_rows) instead of one loop
+    # per child; leaf_kmask has bit k set for each leaf child k, gating the
+    # whole run on "any leaf child's box was hit"
+    leaf_start: jnp.ndarray = None  # [W] i32
+    leaf_rows: jnp.ndarray = None  # [W] i32
+    leaf_kmask: jnp.ndarray = None  # [W] i32
+    tri_cols: jnp.ndarray = None  # [Rt*8, 128] f32 — row 8r+j lanes 0:9 = tri j of row r
+    slot_tri: jnp.ndarray = None  # [Rt * 8] i32 — slot -> pool triangle id
     slot_meta: jnp.ndarray = None
     num_wide: int = struct.field(pytree_node=False, default=0)
     max_stack: int = struct.field(pytree_node=False, default=64)
@@ -178,29 +186,56 @@ def pack_sublane_host(
     obj_id: np.ndarray | None = None,
     mat_id: np.ndarray | None = None,
 ) -> PackedSublaneBVH:
-    """Collapse + pack a binary host BVH for the sublane-wide kernel."""
+    """Collapse + pack a binary host BVH for the sublane-wide kernel.
+
+    Leaf triangle rows are grouped per OWNING WIDE NODE (all leaf children
+    of one wide node contiguous), transposed 8-tris-on-sublanes."""
     wide, depth = collapse_wide(left, right, tri_count, node_min, node_max, root)
     w = len(wide)
-
-    tri_rows, _, slot_tri, leaf_row_start, leaf_nrows = pack_tri_rows(
-        left_first, tri_count, tri_indices, tri_v0, tri_e1, tri_e2
-    )
-    n_tri_rows = tri_rows.shape[0]
-    if (
-        n_tri_rows >= (1 << SUB_META_NROWS_SHIFT)
-        or w >= (1 << SUB_META_NROWS_SHIFT)
-        or int(leaf_nrows.max(initial=0)) > SUB_META_NROWS_MASK
-    ):
+    if w >= (1 << SUB_META_NROWS_SHIFT):
         raise ValueError("scene exceeds sublane-wide meta field widths")
 
-    # transposed triangle rows: tri j of packed row r -> row 8r+j, lanes
-    # 0:9 = v0 e1 e2 (degenerate padding rows stay all-zero: MT determinant
-    # 0 never hits)
-    tri_cols = np.zeros((n_tri_rows * 8, 128), np.float32)
-    for rr in range(n_tri_rows):
-        for j in range(TRIS_PER_ROW):
-            lane = j * 16
-            tri_cols[rr * 8 + j, 0:9] = tri_rows[rr, lane : lane + 9]
+    # --- per-wide-node grouped, transposed triangle rows -----------------
+    rows_list = []  # each: (8, 128) block? build flat rows directly
+    leaf_start = np.zeros(w, np.int32)
+    leaf_rows = np.zeros(w, np.int32)
+    leaf_kmask = np.zeros(w, np.int32)
+    slot_tri_list = []
+    row = 0
+    tri_cols_rows = []
+    for wi, kids in enumerate(wide):
+        leaf_start[wi] = row
+        for slot, (bin_id, wide_child) in enumerate(kids):
+            if wide_child >= 0 or tri_count[bin_id] == 0:
+                continue
+            leaf_kmask[wi] |= 1 << slot
+            f = int(left_first[bin_id])
+            c = int(tri_count[bin_id])
+            nrows = (c + TRIS_PER_ROW - 1) // TRIS_PER_ROW
+            for rr in range(nrows):
+                block = np.zeros((8, 128), np.float32)
+                slots = np.full(8, -1, np.int32)
+                for j in range(TRIS_PER_ROW):
+                    k = rr * TRIS_PER_ROW + j
+                    if k >= c:
+                        break
+                    tid = int(tri_indices[f + k])
+                    block[j, 0:3] = tri_v0[tid]
+                    block[j, 3:6] = tri_e1[tid]
+                    block[j, 6:9] = tri_e2[tid]
+                    slots[j] = tid
+                tri_cols_rows.append(block)
+                slot_tri_list.append(slots)
+            row += nrows
+        leaf_rows[wi] = row - leaf_start[wi]
+    n_tri_rows = max(row, 1)
+    if not tri_cols_rows:
+        tri_cols_rows.append(np.zeros((8, 128), np.float32))
+        slot_tri_list.append(np.full(8, -1, np.int32))
+    tri_cols = np.concatenate(tri_cols_rows, axis=0)
+    slot_tri = np.concatenate(slot_tri_list)
+    if n_tri_rows >= (1 << SUB_META_NROWS_SHIFT):
+        raise ValueError("scene exceeds sublane-wide tri-row field width")
 
     node_cols = np.full((w * 8, 128), np.nan, np.float32)
     meta = np.zeros((8, w, WIDE), np.int32)
@@ -217,7 +252,9 @@ def pack_sublane_host(
                 if wide_child >= 0:
                     payload, nrows = wide_child, 0
                 else:
-                    payload, nrows = int(leaf_row_start[bin_id]), int(leaf_nrows[bin_id])
+                    # leaf: payload unused (rows come from leaf_start/rows);
+                    # nrows != 0 just marks "leaf, don't push"
+                    payload, nrows = 0, 1
                 meta[o, wi, j] = (
                     payload
                     | (nrows << SUB_META_NROWS_SHIFT)
@@ -228,6 +265,9 @@ def pack_sublane_host(
     pk = PackedSublaneBVH(
         node_cols=jnp.asarray(node_cols),
         meta=jnp.asarray(meta.reshape(-1)),
+        leaf_start=jnp.asarray(leaf_start),
+        leaf_rows=jnp.asarray(leaf_rows),
+        leaf_kmask=jnp.asarray(leaf_kmask),
         tri_cols=jnp.asarray(tri_cols),
         slot_tri=jnp.asarray(slot_tri),
         num_wide=w,

@@ -549,11 +549,15 @@ def traverse_sorted(
         mask = jnp.ones((r,), jnp.bool_)
     oct_ = ray_octants(d)
     if spatial:
-        # (dead, origin Morton code, octant) sort key: bounce rays are
-        # incoherent in BOTH origin and direction; packet tiles built from
-        # origin-local, direction-similar rays visit far smaller node
-        # unions.  Costs one 32-bit argsort (device sort), repaid severalfold
-        # in traversal time on bounces >= 1.
+        # (dead, origin Morton code, [direction bits], octant) sort key:
+        # bounce rays are incoherent in BOTH origin and direction; packet
+        # tiles built from origin-local, direction-similar rays visit far
+        # smaller node unions.  Costs one 32-bit argsort (device sort),
+        # repaid severalfold in traversal time on bounces >= 1.
+        # CRT_SORT_DIRBITS=n (0-2) additionally quantizes |direction| to n
+        # bits/axis between the position Morton and the octant — 6D binning
+        # for small-block kernels where direction spread dominates unions.
+        dirbits = int(_os.environ.get("CRT_SORT_DIRBITS", "0"))
         wmin = jnp.asarray(pk.world_min, jnp.float32)
         wext = jnp.asarray(pk.world_max, jnp.float32) - wmin
         q = jnp.clip(
@@ -569,6 +573,11 @@ def traverse_sorted(
 
         morton = spread3(q[..., 0]) | (spread3(q[..., 1]) << 1) | (spread3(q[..., 2]) << 2)
         key = (morton << 3) | oct_
+        if dirbits > 0:
+            lim = (1 << dirbits) - 1
+            qd = jnp.clip((jnp.abs(d) * (lim + 1)), 0, lim).astype(jnp.int32)
+            dm = spread3(qd[..., 0]) | (spread3(qd[..., 1]) << 1) | (spread3(qd[..., 2]) << 2)
+            key = (morton << (3 + 3 * dirbits)) | (dm << 3) | oct_
         key = jnp.where(mask, key, jnp.int32(0x7FFFFFFF))  # dead rays last
         perm = jnp.argsort(key)
         pos = jnp.zeros((r,), jnp.int32).at[perm].set(jnp.arange(r, dtype=jnp.int32))

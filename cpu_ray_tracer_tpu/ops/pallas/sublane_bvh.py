@@ -66,6 +66,9 @@ TILE = BLOCK * NBLOCKS
 def _kernel(
     oct_ref,  # SMEM [T, B] i32 per-block octant
     meta_ref,  # SMEM [8 * W * 8] i32
+    leaf_start_ref,  # SMEM [W] i32
+    leaf_rows_ref,  # SMEM [W] i32
+    leaf_kmask_ref,  # SMEM [W] i32
     ox_ref, oy_ref, oz_ref,  # VMEM [1, B, 128] blocks
     dx_ref, dy_ref, dz_ref,
     t0_ref, mask_ref,
@@ -153,59 +156,55 @@ def _kernel(
         base = (bi["o8"] * num_wide + cur) * 8
         metas = [meta_ref[base + j] for j in range(8)]
 
-        # leaf rows near-first (meta order is per-octant near-first)
-        for j in range(8):
-            m = metas[j]
-            k = (m >> SUB_META_K_SHIFT) & 7
-            nrows = (m >> SUB_META_NROWS_SHIFT) & SUB_META_NROWS_MASK
-            ptr = m & SUB_META_PTR_MASK
-            child_hit = ((hitmask >> k) & 1) > 0
-            eff = jnp.where(
-                child_hit & ((m & SUB_META_VALID) != 0) & active, nrows, 0
-            )
+        # ONE fori over the node's grouped leaf rows, gated on "any leaf
+        # child's box hit" (MT's tt < t8 prunes per ray; testing a missed
+        # sibling leaf's rows cannot change results, only `tested`)
+        lstart = leaf_start_ref[cur]
+        any_leaf_hit = (hitmask & leaf_kmask_ref[cur]) != 0
+        eff = jnp.where(any_leaf_hit & active, leaf_rows_ref[cur], 0)
 
-            def row_body(i, a, ptr=ptr):
-                t8, u8, v8, slot8, test = a
-                trow = tris_ref[pl.ds((ptr + i) * 8, 8), :]  # (8,128): 8 tris
-                v0x, v0y, v0z = trow[:, 0:1], trow[:, 1:2], trow[:, 2:3]
-                e1x, e1y, e1z = trow[:, 3:4], trow[:, 4:5], trow[:, 5:6]
-                e2x, e2y, e2z = trow[:, 6:7], trow[:, 7:8], trow[:, 8:9]
-                dx, dy, dz = bi["dx"], bi["dy"], bi["dz"]
-                ox, oy, oz = bi["ox"], bi["oy"], bi["oz"]
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                a_ = e1x * hx + e1y * hy + e1z * hz
-                f = 1.0 / jnp.where(jnp.abs(a_) < 1e-30, 1e-30, a_)
-                sx = ox - v0x
-                sy = oy - v0y
-                sz = oz - v0z
-                uu = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                vv = f * (dx * qx + dy * qy + dz * qz)
-                tt = f * (e2x * qx + e2y * qy + e2z * qz)
-                ok = (
-                    (jnp.abs(a_) >= TRI_EPS)
-                    & (uu >= 0.0)
-                    & (uu <= 1.0)
-                    & (vv >= 0.0)
-                    & (uu + vv <= 1.0)
-                    & (tt > TRI_EPS)
-                    & (tt < t8)
-                    & bi["mask"]
-                )
-                t8 = jnp.where(ok, tt, t8)
-                u8 = jnp.where(ok, uu, u8)
-                v8 = jnp.where(ok, vv, v8)
-                slot8 = jnp.where(ok, (ptr + i) * 8 + sub_iota, slot8)
-                test = test + jnp.where(bi["mask"], 8, 0)
-                return t8, u8, v8, slot8, test
-
-            t8, u8, v8, slot8, test = jax.lax.fori_loop(
-                0, eff, row_body, (t8, u8, v8, slot8, test)
+        def row_body(i, a):
+            t8, u8, v8, slot8, test = a
+            trow = tris_ref[pl.ds((lstart + i) * 8, 8), :]  # (8,128): 8 tris
+            v0x, v0y, v0z = trow[:, 0:1], trow[:, 1:2], trow[:, 2:3]
+            e1x, e1y, e1z = trow[:, 3:4], trow[:, 4:5], trow[:, 5:6]
+            e2x, e2y, e2z = trow[:, 6:7], trow[:, 7:8], trow[:, 8:9]
+            dx, dy, dz = bi["dx"], bi["dy"], bi["dz"]
+            ox, oy, oz = bi["ox"], bi["oy"], bi["oz"]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a_ = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / jnp.where(jnp.abs(a_) < 1e-30, 1e-30, a_)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = (
+                (jnp.abs(a_) >= TRI_EPS)
+                & (uu >= 0.0)
+                & (uu <= 1.0)
+                & (vv >= 0.0)
+                & (uu + vv <= 1.0)
+                & (tt > TRI_EPS)
+                & (tt < t8)
+                & bi["mask"]
             )
+            t8 = jnp.where(ok, tt, t8)
+            u8 = jnp.where(ok, uu, u8)
+            v8 = jnp.where(ok, vv, v8)
+            slot8 = jnp.where(ok, (lstart + i) * 8 + sub_iota, slot8)
+            test = test + jnp.where(bi["mask"], 8, 0)
+            return t8, u8, v8, slot8, test
+
+        t8, u8, v8, slot8, test = jax.lax.fori_loop(
+            0, eff, row_body, (t8, u8, v8, slot8, test)
+        )
 
         # push interior hits far->near so the near child pops first
         for j in reversed(range(8)):
@@ -284,7 +283,7 @@ def _run(
         kernel,
         grid=(n_tiles,),
         out_shape=[f32, f32, f32, i32, i32, i32],
-        in_specs=[smem_spec, smem_spec, *[tile_spec] * 8, full, full],
+        in_specs=[smem_spec] * 5 + [*[tile_spec] * 8, full, full],
         out_specs=[tile_spec] * 6,
         scratch_shapes=[pltpu.SMEM((NBLOCKS, max_stack), jnp.int32)],
         interpret=interpret,
@@ -340,7 +339,7 @@ def traverse(
     ) + (pk.node_cols, pk.tri_cols)
     outs = _run(
         oct_block,
-        (pk.meta,) + comps,
+        (pk.meta, pk.leaf_start, pk.leaf_rows, pk.leaf_kmask) + comps,
         num_wide=pk.num_wide,
         any_hit=any_hit,
         max_steps=64 * pk.num_wide + 64,
