@@ -29,17 +29,24 @@ def log(*a):
     print(round(time.time() - T0, 1), *a, flush=True)
 
 
-def timeit(name, f, *args, reps=3):
+def timeit(name, f, *args, reps=8):
+    """Chained steady-state timing: N back-to-back calls then one scalar
+    readback.  Single-call timing on the tunneled runtime measures
+    idle-slow-mode dispatch latency (3-40 ms), not the op."""
     x = f(*args)
     jax.block_until_ready(x)
-    ts = []
+    g = jax.jit(lambda v: v * 1.000001)
+    y = jnp.float32(1.0)
+    for _ in range(60):
+        y = g(y)
+    float(y)
+    t = time.time()
     for _ in range(reps):
-        t = time.time()
         x = f(*args)
-        jax.block_until_ready(x)
-        ts.append(time.time() - t)
-    log(name, round(min(ts) * 1000, 1), "ms")
-    return min(ts)
+    float(jnp.asarray(x).sum())
+    dt = (time.time() - t) / reps
+    log(name, round(dt * 1000, 1), "ms")
+    return dt
 
 
 def main():

@@ -92,6 +92,25 @@ def _compaction_perm(scene: DeviceScene, o, d, alive):
     """Sort key: (dead-last, origin Morton, direction octant)."""
     root = getattr(scene, "bvh", None)
     oct_ = ray_octants(d)
+    if getattr(scene, "shared", None) is not None:
+        # shared-instancing mode: mesh-0's root box is object space; the
+        # instance-AABB union is the world box
+        wmin = jnp.asarray(scene.shared.world_min, jnp.float32)
+        wext = jnp.maximum(
+            jnp.asarray(scene.shared.world_max, jnp.float32) - wmin, 1e-20
+        )
+        q = jnp.clip(((o - wmin) / wext) * 127.0, 0.0, 127.0).astype(jnp.int32)
+
+        def spread3(v):
+            v = (v | (v << 8)) & 0x0300F00F
+            v = (v | (v << 4)) & 0x030C30C3
+            v = (v | (v << 2)) & 0x09249249
+            return v
+
+        morton = spread3(q[..., 0]) | (spread3(q[..., 1]) << 1) | (spread3(q[..., 2]) << 2)
+        key = (morton << 3) | oct_
+        key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
+        return jnp.argsort(key)
     if root is not None:
         wmin = scene.bvh.node_min[scene.bvh.root]
         wext = jnp.maximum(scene.bvh.node_max[scene.bvh.root] - wmin, 1e-20)

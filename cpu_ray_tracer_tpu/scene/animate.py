@@ -47,3 +47,45 @@ class AnimatedScene:
 
     def build(self):
         return compile_scene(spec=self.spec, **self.compile_opts)
+
+    def update(self, scene):
+        """Cheap per-frame update.  For instancing="shared" scenes this is
+        the O(1) SetTransform the reference gets from BLASBVH (new matrices
+        + world AABBs only — no BVH rebuild, no geometry re-bake); other
+        layouts fall back to a full host rebuild."""
+        if getattr(scene, "shared", None) is not None:
+            return update_shared_transforms(scene, self.spec)
+        return self.build()[0]
+
+
+def update_shared_transforms(scene, spec: SceneSpec):
+    """Recompute instance matrices + world AABBs from the (mutated) spec and
+    swap the SharedInstances tables in place of the old ones.  Host cost is
+    a handful of 4x4 inverses; device cost is uploading [I, 4, 4] tables.
+    jit caches stay valid: shapes and static fields are unchanged."""
+    from cpu_ray_tracer_tpu.accel.types import to_device_f32
+    from cpu_ray_tracer_tpu.scene.build import _transform_aabb, instance_matrices
+
+    sh = scene.shared
+    n_inst = len(spec.objects)
+    minv = np.zeros((n_inst, 4, 4), np.float32)
+    nrm = np.zeros((n_inst, 3, 3), np.float32)
+    amin = np.zeros((n_inst, 3), np.float32)
+    amax = np.zeros((n_inst, 3), np.float32)
+    for i, obj in enumerate(spec.objects):
+        m, mi, nr = instance_matrices(obj)
+        minv[i] = mi
+        nrm[i] = nr
+        bmin, bmax = sh.mesh_bounds[sh.inst_mesh[i]]
+        amin[i], amax[i] = _transform_aabb(np.asarray(bmin), np.asarray(bmax), m)
+    # world_min/world_max are STATIC fields (they key jit caches): leave
+    # them at build-time values — they only seed the Morton sort
+    # quantization, where slightly stale bounds cost sort quality, not
+    # correctness
+    sh = sh.replace(
+        inst_minv=to_device_f32(minv),
+        inst_nrm=to_device_f32(nrm),
+        inst_aabb_min=to_device_f32(amin),
+        inst_aabb_max=to_device_f32(amax),
+    )
+    return scene.replace(shared=sh)

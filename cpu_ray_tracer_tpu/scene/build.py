@@ -80,6 +80,7 @@ def compile_scene(
     shadow_quirk: bool = True,
     use_pallas: bool | None = None,
     leaf_target: int | None = None,
+    instancing: str = "baked",
 ) -> tuple[DeviceScene, SceneInfo]:
     """`layout` picks FileScene ("mono") vs TLASFileScene ("tlas") semantics;
     `accel` picks the structure (USE_BVH / USE_Grid / USE_KDTree).  For
@@ -87,7 +88,14 @@ def compile_scene(
     over its world-baked triangles and traversal chains the instances with a
     shared running t — the TPU equivalent of the reference's TLASGrid /
     TLASKDTree (infra/tlas_grid.cpp:17-111, infra/tlas_kdtree.cpp:17-111,
-    byte-identical clones of TLASBVH over different BLAS types)."""
+    byte-identical clones of TLASBVH over different BLAS types).
+
+    `instancing` (layout="tlas" + accel="bvh" only): "baked" fuses
+    world-baked per-instance BVHs into one threaded forest (the default,
+    fastest traversal); "shared" keeps ONE object-space BLAS per unique
+    mesh and transforms rays per instance at query time — the reference's
+    BLASBVH object-space semantics (blas_bvh.cpp:376-389) with O(1)
+    SetTransform and N instances sharing one BLAS's memory."""
     import jax
 
     if use_pallas is None:
@@ -148,6 +156,35 @@ def compile_scene(
         if path not in mesh_cache:
             mesh_cache[path] = load_obj(path)
         return mesh_cache[path]
+
+    if instancing == "shared":
+        if layout != "tlas" or accel != "bvh":
+            raise ValueError(
+                "instancing='shared' requires layout='tlas' and accel='bvh'"
+            )
+        pool, bvh, shared, info = _build_shared_instances(
+            spec, get_mesh, force_split_cap, leaf_target, use_pallas
+        )
+        light_t = vm.mat_translate(tuple(spec.light_pos))
+        light_inv_t = vm.mat_inverted_no_scale(light_t)
+        scene = DeviceScene(
+            tris=pool,
+            bvh=bvh,
+            materials=materials,
+            atlas=atlas,
+            light_t=to_device_f32(light_t),
+            light_inv_t=to_device_f32(light_inv_t),
+            light_size=jnp.float32(0.5),
+            light_color=to_device_f32(np.array([24.0, 24.0, 22.0], np.float32)),
+            floor_inv_to=jnp.float32(100.0 / floor_tex_width),
+            accel_kind=accel,
+            skydome_tex=skydome_tex,
+            bilinear=bilinear,
+            shadow_quirk=shadow_quirk,
+            shared=shared,
+            use_pallas=use_pallas and shared.packs is not None,
+        )
+        return scene, info
 
     inst_v, inst_n, inst_uv, inst_obj, inst_mat = [], [], [], [], []
     for i, obj in enumerate(spec.objects):
@@ -399,6 +436,139 @@ def compile_scene(
         use_pallas=use_pallas and packed is not None,
     )
     return scene, info
+
+
+def instance_matrices(obj):
+    """Full TRS matrix + inverse + normal (inverse-transpose) matrix for a
+    scene object — the shared-instancing analog of BLASBVH::SetTransform
+    (blas_bvh.cpp:363-374), but O(1): no node re-bake, just three small
+    host matrices."""
+    t, s = _object_matrices(obj)
+    m = (t @ s).astype(np.float32)
+    minv = np.linalg.inv(m).astype(np.float32)
+    nrm = np.linalg.inv(m[:3, :3]).T.astype(np.float32)
+    return m, minv, nrm
+
+
+def _build_shared_instances(spec, get_mesh, force_split_cap, leaf_target, use_pallas):
+    """One object-space BLAS per UNIQUE mesh + per-instance transform
+    tables (see SharedInstances docstring, scene/types.py)."""
+    from cpu_ray_tracer_tpu.scene.types import SharedInstances
+
+    key_to_slot: dict[str, int] = {}
+    inst_mesh = []
+    for obj in spec.objects:
+        k = obj.model_location
+        if k not in key_to_slot:
+            key_to_slot[k] = len(key_to_slot)
+        inst_mesh.append(key_to_slot[k])
+    slot_loc = {s: k for k, s in key_to_slot.items()}
+    n_mesh = len(key_to_slot)
+
+    # --- unique meshes: raw object-space geometry + one BVH each ---------
+    mesh_v, mesh_n, mesh_uv, hosts, idxs, stats_all = [], [], [], [], [], []
+    tri_bases, tri_base = [], 0
+    for s in range(n_mesh):
+        v, n, uv = get_mesh(slot_loc[s]).triangles()
+        v = v.astype(np.float32)
+        host, idx, stats = bvh_builder.build_bvh(
+            v, force_split_cap=force_split_cap, leaf_target=leaf_target
+        )
+        mesh_v.append(v)
+        mesh_n.append(n.astype(np.float32))
+        mesh_uv.append(uv.astype(np.float32))
+        hosts.append(host)
+        idxs.append(idx)
+        stats_all.append(stats)
+        tri_bases.append(tri_base)
+        tri_base += v.shape[0]
+
+    all_v = np.concatenate(mesh_v, axis=0)
+    all_n = np.concatenate(mesh_n, axis=0)
+    all_uv = np.concatenate(mesh_uv, axis=0)
+    # pool obj/mat ids are per-MESH placeholders — the winning instance
+    # overrides both at query time (scene/query._traverse_instanced)
+    pool_obj = np.concatenate(
+        [np.full((v.shape[0],), s, np.int32) for s, v in enumerate(mesh_v)]
+    )
+    pool_mat = np.zeros(all_v.shape[0], np.int32)
+    pool = make_triangle_pool(all_v, all_n, all_uv, pool_obj, pool_mat)
+    v0h = all_v[:, 0]
+    e1h = all_v[:, 1] - v0h
+    e2h = all_v[:, 2] - v0h
+
+    bvhs, packs = [], []
+    for s in range(n_mesh):
+        host, idx = hosts[s], idxs[s] + tri_bases[s]
+        hit, miss = bvh_builder.thread_links(
+            host.left, host.right, host.tri_count, host.axis
+        )
+        bvhs.append(
+            BVHArrays(
+                node_min=to_device_f32(host.node_min),
+                node_max=to_device_f32(host.node_max),
+                left_first=to_device_i32(host.left_first),
+                tri_count=to_device_i32(host.tri_count),
+                hit_link=to_device_i32(hit),
+                miss_link=to_device_i32(miss),
+                tri_indices=to_device_i32(idx),
+                max_leaf=stats_all[s].max_leaf,
+                max_depth=stats_all[s].max_depth,
+            )
+        )
+        if use_pallas:
+            from cpu_ray_tracer_tpu.accel import pack as pack_mod
+
+            packs.append(
+                pack_mod.pack_host(
+                    host.node_min, host.node_max, host.left_first,
+                    host.tri_count, idx, v0h, e1h, e2h, hit, miss, 0,
+                )
+            )
+
+    # --- per-instance tables --------------------------------------------
+    n_inst = len(spec.objects)
+    minv = np.zeros((n_inst, 4, 4), np.float32)
+    nrm = np.zeros((n_inst, 3, 3), np.float32)
+    amin = np.zeros((n_inst, 3), np.float32)
+    amax = np.zeros((n_inst, 3), np.float32)
+    obj_id = np.zeros(n_inst, np.int32)
+    mat_id = np.zeros(n_inst, np.int32)
+    for i, obj in enumerate(spec.objects):
+        m, mi, nr = instance_matrices(obj)
+        minv[i] = mi
+        nrm[i] = nr
+        host = hosts[inst_mesh[i]]
+        amin[i], amax[i] = _transform_aabb(host.node_min[0], host.node_max[0], m)
+        obj_id[i] = 2 + i
+        mat_id[i] = 2 + obj.material_idx
+
+    shared = SharedInstances(
+        inst_minv=to_device_f32(minv),
+        inst_nrm=to_device_f32(nrm),
+        inst_aabb_min=to_device_f32(amin),
+        inst_aabb_max=to_device_f32(amax),
+        inst_obj=to_device_i32(obj_id),
+        inst_mat=to_device_i32(mat_id),
+        inst_mesh=tuple(inst_mesh),
+        world_min=tuple(float(x) for x in amin.min(axis=0)),
+        world_max=tuple(float(x) for x in amax.max(axis=0)),
+        mesh_bounds=tuple(
+            (tuple(float(x) for x in h.node_min[0]), tuple(float(x) for x in h.node_max[0]))
+            for h in hosts
+        ),
+        packs=tuple(packs) if packs else None,
+        bvhs=tuple(bvhs),
+    )
+    total_tris = sum(mesh_v[inst_mesh[i]].shape[0] for i in range(n_inst))
+    info = SceneInfo(
+        name=spec.name,
+        triangle_count=total_tris,
+        object_count=n_inst,
+        build_stats=stats_all[0],
+        blas_stats=stats_all[1:],
+    )
+    return pool, bvhs[0], shared, info
 
 
 def _build_unified_tlas(inst_v: list[np.ndarray], force_split_cap, leaf_target=None):

@@ -21,10 +21,88 @@ FLOOR_NORMAL = np.array([0.0, 1.0, 0.0], np.float32)
 FLOOR_D = np.float32(1.0)
 
 
+def _traverse_instanced(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=None):
+    """Object-space shared-BLAS traversal (instancing="shared"): one masked
+    pass per instance over its unique mesh's BLAS, rays transformed by the
+    instance's inverse TRS, best hit chained through the passes — the
+    reference's BLASBVH::Intersect semantics (blas_bvh.cpp:376-389)
+    vectorized over the whole batch.  Direction vectors are NOT
+    renormalized, so t is identical in object and world space."""
+    import jax as _jax
+
+    sh = scene.shared
+    r = o.shape[0]
+    if mask is None:
+        mask = jnp.ones((r,), jnp.bool_)
+    use_pk = scene.use_pallas and sh.packs is not None
+    interpret = _jax.default_backend() != "tpu"
+    from cpu_ray_tracer_tpu.ops.pallas import packet_bvh
+
+    best_t = t
+    tri = jnp.full((r,), -1, jnp.int32)
+    obj = jnp.full((r,), -1, jnp.int32)
+    mat = jnp.full((r,), -1, jnp.int32)
+    bary = jnp.zeros((r, 2), jnp.float32)
+    trav = jnp.zeros((r,), jnp.int32)
+    test = jnp.zeros((r,), jnp.int32)
+    occ = jnp.zeros((r,), jnp.bool_)
+    rd = 1.0 / jnp.where(jnp.abs(d) < np.float32(1e-30), np.float32(1e-30), d)
+    for i, ms in enumerate(sh.inst_mesh):
+        mi = sh.inst_minv[i]
+        o_i = o @ mi[:3, :3].T + mi[:3, 3]
+        d_i = d @ mi[:3, :3].T
+        # world-AABB early-out vs the running best t (the TLAS role)
+        t1 = (sh.inst_aabb_min[i] - o) * rd
+        t2 = (sh.inst_aabb_max[i] - o) * rd
+        tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        live = mask & (tf >= tn) & (tf > 0) & (tn < best_t)
+        if any_hit:
+            live = live & ~occ
+        if use_pk:
+            res = packet_bvh.traverse(
+                sh.packs[ms], scene.tris, o_i, d_i, best_t,
+                mask=live, any_hit=any_hit, interpret=interpret,
+            )
+        else:
+            # no mask arg on the XLA path: dead rays get t0 = -1, which
+            # fails the root slab test immediately
+            res = traverse_bvh.traverse(
+                sh.bvhs[ms], scene.tris, o_i, d_i,
+                jnp.where(live, best_t, np.float32(-1.0)), any_hit=any_hit,
+            )
+        hit_i = res["tri_idx"] >= 0
+        best_t = jnp.where(hit_i, res["t"], best_t)
+        tri = jnp.where(hit_i, res["tri_idx"], tri)
+        obj = jnp.where(hit_i, sh.inst_obj[i], obj)
+        mat = jnp.where(hit_i, sh.inst_mat[i], mat)
+        bary = jnp.where(hit_i[..., None], res["bary"], bary)
+        trav = trav + res["traversed"]
+        test = test + res["tested"]
+        if any_hit:
+            occ = occ | hit_i
+    return dict(
+        t=best_t, tri_idx=tri, obj_id=obj, mat_id=mat, bary=bary,
+        traversed=trav, tested=test,
+    )
+
+
 def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=None, sort_rays: bool = False):
     """Dispatch on the scene's accelerator kind — the data-driven analog of
     the reference's USE_BVH/USE_Grid/USE_KDTree defines (file_scene.h:10-12);
     every accelerator answers the same query contract."""
+    if scene.shared is not None:
+        if sort_rays:
+            from cpu_ray_tracer_tpu.ops.pallas import packet_bvh
+
+            def fn(pk, tris, o_, d_, t0_, mask=None, any_hit=False, interpret=False):
+                return _traverse_instanced(scene, o_, d_, t0_, any_hit=any_hit, mask=mask)
+
+            return packet_bvh.traverse_sorted(
+                scene.shared, scene.tris, o, d, t,
+                mask=mask, any_hit=any_hit, traverse_fn=fn,
+            )
+        return _traverse_instanced(scene, o, d, t, any_hit=any_hit, mask=mask)
     if scene.accel_kind == "grid" and not (scene.use_pallas and scene.packed is not None):
         if isinstance(scene.grid, (tuple, list)):  # tlas layout: BLAS forest
             return forest.traverse_forest(
@@ -131,17 +209,32 @@ def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=Non
     obj = hit["obj_idx"]
     tid = jnp.maximum(tri, 0)
 
-    # triangle: differentiable Möller–Trumbore solve against the hit tri
+    # triangle: differentiable Möller–Trumbore solve against the hit tri.
+    # Shared-BLAS mode: the pool is object space, so transform the ray by
+    # the winning instance's (constant) inverse matrix first — t is the
+    # same scalar in both spaces because d is not renormalized.
+    if scene.shared is not None:
+        sh = scene.shared
+        n_i = sh.inst_minv.shape[0]
+        iidx = jnp.clip(obj - 2, 0, n_i - 1)
+        oh = jax.nn.one_hot(iidx, n_i, dtype=jnp.float32)
+        mi = jnp.dot(
+            oh, sh.inst_minv.reshape(n_i, 16), precision=jax.lax.Precision.HIGHEST
+        ).reshape(-1, 4, 4)
+        o_mt = jnp.einsum("rij,rj->ri", mi[:, :3, :3], o) + mi[:, :3, 3]
+        d_mt = jnp.einsum("rij,rj->ri", mi[:, :3, :3], d)
+    else:
+        o_mt, d_mt = o, d
     v0 = scene.tris.v0[tid]
     e1 = scene.tris.e1[tid]
     e2 = scene.tris.e2[tid]
-    h = jnp.cross(d, e2)
+    h = jnp.cross(d_mt, e2)
     a = vm.dot(e1, h)
     f = 1.0 / jnp.where(jnp.abs(a) < np.float32(1e-20), np.float32(1e-20), a)
-    s = o - v0
+    s = o_mt - v0
     u = f * vm.dot(s, h)
     q = jnp.cross(s, e1)
-    v = f * vm.dot(d, q)
+    v = f * vm.dot(d_mt, q)
     t_tri = f * vm.dot(e2, q)
 
     # floor plane: t = -(o.y + 1) / d.y
@@ -210,6 +303,20 @@ def get_hit_info(scene: DeviceScene, hit: dict, point: jnp.ndarray, d: jnp.ndarr
         n_tri, uv_tri = hit["shade_normal"], hit["shade_uv"]
     else:
         n_tri, uv_tri = traverse_bvh.interpolate_hit(scene.tris, hit["tri_idx"], hit["bary"])
+    if scene.shared is not None:
+        # shared-BLAS mode: pool normals are OBJECT space; map to world with
+        # the winning instance's inverse-transpose (one-hot matmul — the
+        # instance table is tiny) and renormalize
+        sh = scene.shared
+        n_i = sh.inst_nrm.shape[0]
+        iidx = jnp.clip(obj - 2, 0, n_i - 1)
+        oh = jax.nn.one_hot(iidx, n_i, dtype=jnp.float32)
+        nm = jnp.dot(
+            oh, sh.inst_nrm.reshape(n_i, 9), precision=jax.lax.Precision.HIGHEST
+        ).reshape(-1, 3, 3)
+        n_w = jnp.einsum("rij,rj->ri", nm, n_tri)
+        n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-20)
+        n_tri = jnp.where(tri_hit[..., None], n_w, n_tri)
     # light quad normal: TransformVector((0,-1,0), T) (primitives.h:365-369)
     light_n = -scene.light_t[:3, 1]
     floor_uv = intersect.plane_uv(point, scene.floor_inv_to)

@@ -21,6 +21,46 @@ from cpu_ray_tracer_tpu.core.textures import TextureAtlas
 
 
 @struct.dataclass
+class SharedInstances:
+    """Object-space shared-BLAS instancing tables (layout="tlas",
+    instancing="shared").
+
+    The reference's BLASBVH transforms each ray into object space per
+    instance inside the traversal (blas_bvh.cpp:376-389), letting N
+    instances share one BLAS and making SetTransform O(1).  The TPU-first
+    equivalent: one packed object-space BVH per UNIQUE MESH, and traversal
+    runs one masked packet-kernel pass per instance — the whole ray batch
+    is transformed by the instance's inverse matrix (a vectorized 3x4
+    multiply), rays whose world AABB interval cannot beat the running best
+    t are masked off (the kernel parks dead groups), and the per-ray best
+    hit chains through the passes exactly like the reference's shared
+    `hitInfo.t`.  Direction vectors are NOT renormalized in object space,
+    so t is the same scalar in both spaces (any invertible TRS).  The
+    instance table + AABB early-out takes the role of the reference's
+    agglomerative TLAS tree (tlas_bvh.cpp:17-70): at instance counts where
+    a tree helps, the masked-pass loop is already bound by kernel launches,
+    not by AABB tests, and the early-out culls the same work.
+    """
+
+    inst_minv: jnp.ndarray  # [I, 4, 4] world -> object (full TRS inverse)
+    inst_nrm: jnp.ndarray  # [I, 3, 3] inverse-transpose linear (obj normal -> world)
+    inst_aabb_min: jnp.ndarray  # [I, 3] world AABB per instance
+    inst_aabb_max: jnp.ndarray  # [I, 3]
+    inst_obj: jnp.ndarray  # [I] i32 object id (2 + i)
+    inst_mat: jnp.ndarray  # [I] i32 material slot
+    # static: instance -> mesh slot, and scene world bounds for the
+    # traverse_sorted Morton quantization (duck-typing PackedBVH here)
+    inst_mesh: tuple = struct.field(pytree_node=False, default=())
+    world_min: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
+    world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
+    # per-mesh object-space root AABBs ((min3, max3) tuples) — all that's
+    # needed to recompute instance world AABBs on a transform change
+    mesh_bounds: tuple = struct.field(pytree_node=False, default=())
+    packs: tuple = None  # per-mesh PackedBVH (Pallas path), or None
+    bvhs: tuple = None  # per-mesh BVHArrays (pure-XLA path)
+
+
+@struct.dataclass
 class DeviceScene:
     tris: TrianglePool
     bvh: BVHArrays
@@ -58,6 +98,10 @@ class DeviceScene:
     # lanes) layout (accel/wide.py pack_sublane_host); preferred over both
     # other packed layouts when present (CRT_SUBLANE=1)
     packed_sublane: object = None  # PackedSublaneBVH
+    # object-space shared-BLAS instancing tables (instancing="shared");
+    # when present, traversal runs the masked per-instance pass loop and
+    # `tris` holds the OBJECT-SPACE unique-mesh pool
+    shared: SharedInstances | None = None
     use_pallas: bool = struct.field(pytree_node=False, default=False)
 
 

@@ -21,6 +21,10 @@ class RenderConfig:
     scene_xml: str = ""
     layout: str = "tlas"  # "tlas" (TLASFileScene) | "mono" (FileScene)
     accel: str = "bvh"  # "bvh" | "grid" | "kdtree"
+    # "baked" = world-baked fused forest (fastest traversal);
+    # "shared" = object-space shared-BLAS instancing (O(1) transforms,
+    # N instances share one BLAS — blas_bvh.cpp:376-389 semantics)
+    instancing: str = "baked"
     parity: bool = False  # replicate all reference quirks bit-for-bit
     use_pallas: str = "auto"  # "auto" (TPU only) | "true" | "false"
     shadow_quirk: bool = True
@@ -64,6 +68,7 @@ class RenderConfig:
             use_pallas=(
                 None if self.use_pallas == "auto" else self.use_pallas == "true"
             ),
+            instancing=self.instancing,
         )
 
     def build_camera(self):
