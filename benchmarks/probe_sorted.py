@@ -105,12 +105,10 @@ def single():
 
 def sweep():
     cfgs = [
-        {"CRT_SUBLANE": "1"},  # grouped-leaf rewrite
-        {"CRT_SUBLANE": "1", "CRT_SORT_DIRBITS": "2"},
-        {"CRT_SUBLANE": "1", "CRT_SUBLANE_BLOCKS": "4"},
-        {"CRT_PACKET_TILE": "4096", "CRT_SORT_DIRBITS": "2"},
-        {"CRT_PACKET_TILE": "4096", "CRT_SORT_DIRBITS": "1"},
-        {"CRT_PACKET_TILE": "4096"},
+        {"CRT_SUBLANE": "1"},  # v2: sequential blocks + multipop 4
+        {"CRT_SUBLANE": "1", "CRT_SUBLANE_POP": "2"},
+        {"CRT_SUBLANE": "1", "CRT_SUBLANE_POP": "1"},
+        {},  # binary packet kernel, TILE 4096 default
     ]
     for c in cfgs:
         env = dict(os.environ, **c)

@@ -166,7 +166,9 @@ class PackedSublaneBVH:
     slot_tri: jnp.ndarray = None  # [Rt * 8] i32 — slot -> pool triangle id
     slot_meta: jnp.ndarray = None
     num_wide: int = struct.field(pytree_node=False, default=0)
-    max_stack: int = struct.field(pytree_node=False, default=64)
+    # multipop traversal (CRT_SUBLANE_POP) pushes up to POP*7 children per
+    # iteration — size the SMEM stack generously (8 blocks x 192 x i32 = 6KB)
+    max_stack: int = struct.field(pytree_node=False, default=192)
     world_min: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
     world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
 

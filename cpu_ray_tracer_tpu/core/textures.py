@@ -63,6 +63,30 @@ def build_atlas(images: list[np.ndarray]) -> TextureAtlas:
     )
 
 
+def nearest_texel(atlas: TextureAtlas, off, w, h, u, v) -> jnp.ndarray:
+    """Nearest-texel fetch given per-ray (or scalar) offset/width/height —
+    the one remaining gather once the texture-table lookups are fused
+    upstream (query.material_fields one-hot matmul, or trace-time scalars
+    for the skydome).  Reference truncation semantics (texture.h:61-96)."""
+    uu = jnp.clip(u, 0.0, 1.0)
+    vv = 1.0 - jnp.clip(v, 0.0, 1.0)
+    x = jnp.clip((uu * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((vv * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    idx = off + x + y * w
+    if atlas.packed is not None:
+        p = atlas.packed[idx]
+        scale = np.float32(1.0 / 255.0)
+        return jnp.stack(
+            [
+                ((p >> 16) & 0xFF).astype(jnp.float32) * scale,
+                ((p >> 8) & 0xFF).astype(jnp.float32) * scale,
+                (p & 0xFF).astype(jnp.float32) * scale,
+            ],
+            axis=-1,
+        )
+    return atlas.texels[idx]
+
+
 def sample_nearest(atlas: TextureAtlas, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Nearest-texel sample, reference semantics (texture.h:61-96):
     u clamped to [0,1], v flipped then clamped, truncation to int,
@@ -75,24 +99,7 @@ def sample_nearest(atlas: TextureAtlas, tex_id: jnp.ndarray, u: jnp.ndarray, v: 
     w = atlas.width[tid]
     h = atlas.height[tid]
     off = atlas.offset[tid]
-    uu = jnp.clip(u, 0.0, 1.0)
-    vv = 1.0 - jnp.clip(v, 0.0, 1.0)
-    x = jnp.clip((uu * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip((vv * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
-    idx = off + x + y * w
-    if atlas.packed is not None:
-        p = atlas.packed[idx]
-        scale = np.float32(1.0 / 255.0)
-        texel = jnp.stack(
-            [
-                ((p >> 16) & 0xFF).astype(jnp.float32) * scale,
-                ((p >> 8) & 0xFF).astype(jnp.float32) * scale,
-                (p & 0xFF).astype(jnp.float32) * scale,
-            ],
-            axis=-1,
-        )
-    else:
-        texel = atlas.texels[idx]
+    texel = nearest_texel(atlas, off, w, h, u, v)
     return jnp.where((tex_id >= 0)[..., None], texel, 0.0)
 
 
@@ -146,5 +153,12 @@ def sample_equirect(atlas: TextureAtlas, tex_id: int, d: jnp.ndarray, bilinear: 
     theta = jnp.arccos(jnp.clip(-d[..., 1], -1.0, 1.0))
     u = phi * np.float32(0.5 / np.pi)
     v = theta * np.float32(1.0 / np.pi)
+    if not bilinear:
+        # tex_id is static: scalar offset/width/height (no per-ray table
+        # gathers) — the skydome tap is one packed-texel gather per ray
+        return nearest_texel(
+            atlas, atlas.offset[tex_id], atlas.width[tex_id],
+            atlas.height[tex_id], u, v,
+        )
     tid = jnp.full(u.shape, tex_id, jnp.int32)
     return sample(atlas, tid, u, v, bilinear)

@@ -53,7 +53,9 @@ from cpu_ray_tracer_tpu.accel.pack import (
 
 import os as _os
 
-TILE = int(_os.environ.get("CRT_PACKET_TILE", "8192"))  # rays per tile
+# rays per tile: 4096 beats 8192 on sorted-bounce AND coherent regimes on
+# v5e (smaller per-tile node unions; bench 6.31 -> 6.54 Mrays/s end-to-end)
+TILE = int(_os.environ.get("CRT_PACKET_TILE", "4096"))
 TILE_SHAPE = (TILE // 128, 128)
 UNROLL = int(_os.environ.get("CRT_PACKET_UNROLL", "2"))  # node steps per loop iter
 # Independent cursor groups per tile: each group of TILE/GROUPS rays follows

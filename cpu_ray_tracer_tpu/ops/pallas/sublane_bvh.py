@@ -61,6 +61,14 @@ TRI_EPS = constants.TRI_EPS
 BLOCK = 128  # rays per cursor block (one lane row)
 NBLOCKS = int(_os.environ.get("CRT_SUBLANE_BLOCKS", "8"))  # blocks per program
 TILE = BLOCK * NBLOCKS
+# nodes popped per scalar sync: the per-step cost is the vector->scalar
+# transfer latency (~1us measured end-to-end), so K nodes per sync divides
+# it; K slab tests are cheap (8,128)-vreg work.  K=4 packs the 4 per-node
+# 8-bit hitmasks as 4-bit nibbles into TWO 16-bit scalars (sublanes 0-3 /
+# 4-7) — two back-to-back reads after one pipeline drain.
+POP = int(_os.environ.get("CRT_SUBLANE_POP", "4"))
+if not 1 <= POP <= 4:
+    raise ValueError("CRT_SUBLANE_POP must be 1-4 (4-bit nibble packing)")
 
 
 def _kernel(
@@ -83,27 +91,29 @@ def _kernel(
 ):
     pid = pl.program_id(0)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    pow2 = jnp.int32(1) << sub_iota  # (8, 1)
+    # nibble weights: per-node 4-bit hit nibbles packed into two 16-bit
+    # scalars (sublanes 0-3 -> s_lo, 4-7 -> s_hi)
+    nib_lo = jnp.where(sub_iota < 4, jnp.int32(1) << (4 * sub_iota), 0)
+    nib_hi = jnp.where(sub_iota >= 4, jnp.int32(1) << (4 * (sub_iota - 4)), 0)
 
-    blocks_in = []
+    # blocks run SEQUENTIALLY to completion: round-robin lockstep pays
+    # max(steps) x NBLOCKS (the step-count tail is heavy: p95 ~6x mean);
+    # sequential pays sum(steps)
     for b in range(NBLOCKS):
         s = slice(b, b + 1)
-        blocks_in.append(dict(
-            ox=ox_ref[0][s], oy=oy_ref[0][s], oz=oz_ref[0][s],
-            dx=dx_ref[0][s], dy=dy_ref[0][s], dz=dz_ref[0][s],
-            rdx=1.0 / dx_ref[0][s], rdy=1.0 / dy_ref[0][s], rdz=1.0 / dz_ref[0][s],
-            mask=mask_ref[0][s] > 0.5,
-            o8=oct_ref[pid, b],
-            t0=t0_ref[0][s],
-        ))
+        ox, oy, oz = ox_ref[0][s], oy_ref[0][s], oz_ref[0][s]
+        dx, dy, dz = dx_ref[0][s], dy_ref[0][s], dz_ref[0][s]
+        rdx, rdy, rdz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        mask = mask_ref[0][s] > 0.5
+        o8 = oct_ref[pid, b]
 
-    def block_init(b):
         stack_ref[b, 0] = jnp.int32(0)  # root wide node
-        n_live = jnp.sum(blocks_in[b]["mask"].astype(jnp.int32))
-        sp = jnp.where(n_live > 0, 1, 0).astype(jnp.int32)
-        return (
-            sp,
-            jnp.broadcast_to(blocks_in[b]["t0"], (8, BLOCK)),  # per-sublane t
+        n_live = jnp.sum(mask.astype(jnp.int32))
+        sp0 = jnp.where(n_live > 0, 1, 0).astype(jnp.int32)
+        carry0 = (
+            sp0,
+            jnp.int32(0),  # steps
+            jnp.broadcast_to(t0_ref[0][s], (8, BLOCK)),  # per-sublane t
             jnp.zeros((8, BLOCK), jnp.float32),  # u
             jnp.zeros((8, BLOCK), jnp.float32),  # v
             jnp.full((8, BLOCK), -1, jnp.int32),  # slot
@@ -111,149 +121,144 @@ def _kernel(
             jnp.zeros((1, BLOCK), jnp.int32),  # tested
         )
 
-    def block_step(b, c):
-        bi = blocks_in[b]
-        sp, t8, u8, v8, slot8, trav, test = c
-        active = sp > 0
-        spm = jnp.maximum(sp - 1, 0)
-        cur = stack_ref[b, spm]
-        cur = jnp.where(active, cur, 0)
+        def cond(c):
+            sp, steps = c[0], c[1]
+            return (sp > 0) & (steps < max_steps)
 
-        blk = nodes_ref[pl.ds(cur * 8, 8), :]  # (8, 128): 8 child records
-        bminx = blk[:, 0:1]
-        bminy = blk[:, 1:2]
-        bminz = blk[:, 2:3]
-        bmaxx = blk[:, 3:4]
-        bmaxy = blk[:, 4:5]
-        bmaxz = blk[:, 5:6]
+        def body(c, b=b, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                 rdx=rdx, rdy=rdy, rdz=rdz, mask=mask, o8=o8):
+            sp, steps, t8, u8, v8, slot8, trav, test = c
+            t_best = jnp.min(t8, axis=0, keepdims=True)  # (1, BLOCK)
+            if any_hit:
+                hit_already = jnp.max(slot8, axis=0, keepdims=True) >= 0
 
-        # shared-t cull: each sublane tracks its own best; the cross-sublane
-        # min is refreshed every step (a cheap sublane reduction)
-        t_best = jnp.min(t8, axis=0, keepdims=True)  # (1, BLOCK)
+            # ---- vector phase: pop + slab-test up to POP nodes ----------
+            curs, valids = [], []
+            vec_nib = jnp.zeros((8, 1), jnp.int32)
+            for k in range(POP):
+                idx = sp - 1 - k
+                valid = idx >= 0
+                cur = jnp.where(valid, stack_ref[b, jnp.maximum(idx, 0)], 0)
+                blk = nodes_ref[pl.ds(cur * 8, 8), :]  # (8,128) child boxes
+                tx1 = (blk[:, 0:1] - ox) * rdx
+                tx2 = (blk[:, 3:4] - ox) * rdx
+                tmin = jnp.minimum(tx1, tx2)
+                tmax = jnp.maximum(tx1, tx2)
+                ty1 = (blk[:, 1:2] - oy) * rdy
+                ty2 = (blk[:, 4:5] - oy) * rdy
+                tmin = jnp.maximum(tmin, jnp.minimum(ty1, ty2))
+                tmax = jnp.minimum(tmax, jnp.maximum(ty1, ty2))
+                tz1 = (blk[:, 2:3] - oz) * rdz
+                tz2 = (blk[:, 5:6] - oz) * rdz
+                tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
+                tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
+                lane_hit = (tmax >= tmin) & (tmin < t_best) & (tmax > 0.0) & mask
+                if any_hit:
+                    lane_hit = lane_hit & (~hit_already)
+                hit8 = jnp.sum(lane_hit.astype(jnp.int32), axis=1, keepdims=True) > 0
+                vec_nib = vec_nib + jnp.where(
+                    hit8 & valid, jnp.int32(1) << k, 0
+                )
+                curs.append(cur)
+                valids.append(valid)
+            # TWO scalar reads for POP nodes' hitmasks (one drain)
+            s_lo = jnp.sum(vec_nib * nib_lo)
+            s_hi = jnp.sum(vec_nib * nib_hi)
+            n_pop = jnp.minimum(sp, POP)
+            trav = trav + jnp.where(mask, n_pop, 0)
+            sp = jnp.maximum(sp - POP, 0)
 
-        tx1 = (bminx - bi["ox"]) * bi["rdx"]
-        tx2 = (bmaxx - bi["ox"]) * bi["rdx"]
-        tmin = jnp.minimum(tx1, tx2)
-        tmax = jnp.maximum(tx1, tx2)
-        ty1 = (bminy - bi["oy"]) * bi["rdy"]
-        ty2 = (bmaxy - bi["oy"]) * bi["rdy"]
-        tmin = jnp.maximum(tmin, jnp.minimum(ty1, ty2))
-        tmax = jnp.minimum(tmax, jnp.maximum(ty1, ty2))
-        tz1 = (bminz - bi["oz"]) * bi["rdz"]
-        tz2 = (bmaxz - bi["oz"]) * bi["rdz"]
-        tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
-        tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
-        lane_hit = (tmax >= tmin) & (tmin < t_best) & (tmax > 0.0) & bi["mask"]
-        if any_hit:
-            hit_already = jnp.max(slot8, axis=0, keepdims=True) >= 0
-            lane_hit = lane_hit & (~hit_already)
+            # per-node 8-bit hitmasks decoded on scalar ALU
+            hms = []
+            for k in range(POP):
+                hm = jnp.int32(0)
+                for i in range(4):
+                    hm = hm | (((s_lo >> (4 * i + k)) & 1) << i)
+                    hm = hm | (((s_hi >> (4 * i + k)) & 1) << (i + 4))
+                hms.append(hm)
 
-        hit8 = jnp.sum(lane_hit.astype(jnp.int32), axis=1, keepdims=True) > 0  # (8,1)
-        hitmask = jnp.sum(jnp.where(hit8, pow2, 0))  # ONE vector->scalar read
+            # ---- leaf phase: one fori per popped node's grouped rows ----
+            for k in range(POP):
+                lstart = leaf_start_ref[curs[k]]
+                any_leaf = (hms[k] & leaf_kmask_ref[curs[k]]) != 0
+                eff = jnp.where(any_leaf & valids[k], leaf_rows_ref[curs[k]], 0)
 
-        trav = trav + jnp.where(bi["mask"] & active, 1, 0)
+                def row_body(i, a, lstart=lstart):
+                    t8, u8, v8, slot8, test = a
+                    trow = tris_ref[pl.ds((lstart + i) * 8, 8), :]
+                    v0x, v0y, v0z = trow[:, 0:1], trow[:, 1:2], trow[:, 2:3]
+                    e1x, e1y, e1z = trow[:, 3:4], trow[:, 4:5], trow[:, 5:6]
+                    e2x, e2y, e2z = trow[:, 6:7], trow[:, 7:8], trow[:, 8:9]
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    a_ = e1x * hx + e1y * hy + e1z * hz
+                    f = 1.0 / jnp.where(jnp.abs(a_) < 1e-30, 1e-30, a_)
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    uu = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    vv = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (jnp.abs(a_) >= TRI_EPS)
+                        & (uu >= 0.0)
+                        & (uu <= 1.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (tt > TRI_EPS)
+                        & (tt < t8)
+                        & mask
+                    )
+                    t8 = jnp.where(ok, tt, t8)
+                    u8 = jnp.where(ok, uu, u8)
+                    v8 = jnp.where(ok, vv, v8)
+                    slot8 = jnp.where(ok, (lstart + i) * 8 + sub_iota, slot8)
+                    test = test + jnp.where(mask, 8, 0)
+                    return t8, u8, v8, slot8, test
 
-        base = (bi["o8"] * num_wide + cur) * 8
-        metas = [meta_ref[base + j] for j in range(8)]
+                t8, u8, v8, slot8, test = jax.lax.fori_loop(
+                    0, eff, row_body, (t8, u8, v8, slot8, test)
+                )
 
-        # ONE fori over the node's grouped leaf rows, gated on "any leaf
-        # child's box hit" (MT's tt < t8 prunes per ray; testing a missed
-        # sibling leaf's rows cannot change results, only `tested`)
-        lstart = leaf_start_ref[cur]
-        any_leaf_hit = (hitmask & leaf_kmask_ref[cur]) != 0
-        eff = jnp.where(any_leaf_hit & active, leaf_rows_ref[cur], 0)
+            # ---- push phase: farthest node first, far->near children, so
+            # the nearest child of the nearest node ends on top ------------
+            for k in reversed(range(POP)):
+                base = (o8 * num_wide + curs[k]) * 8
+                for j in reversed(range(8)):
+                    m = meta_ref[base + j]
+                    kk = (m >> SUB_META_K_SHIFT) & 7
+                    nrows = (m >> SUB_META_NROWS_SHIFT) & SUB_META_NROWS_MASK
+                    is_interior = (nrows == 0) & ((m & SUB_META_VALID) != 0)
+                    push = (((hms[k] >> kk) & 1) > 0) & is_interior & valids[k]
+                    stack_ref[b, sp] = m & SUB_META_PTR_MASK
+                    sp = sp + push.astype(jnp.int32)
 
-        def row_body(i, a):
-            t8, u8, v8, slot8, test = a
-            trow = tris_ref[pl.ds((lstart + i) * 8, 8), :]  # (8,128): 8 tris
-            v0x, v0y, v0z = trow[:, 0:1], trow[:, 1:2], trow[:, 2:3]
-            e1x, e1y, e1z = trow[:, 3:4], trow[:, 4:5], trow[:, 5:6]
-            e2x, e2y, e2z = trow[:, 6:7], trow[:, 7:8], trow[:, 8:9]
-            dx, dy, dz = bi["dx"], bi["dy"], bi["dz"]
-            ox, oy, oz = bi["ox"], bi["oy"], bi["oz"]
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a_ = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / jnp.where(jnp.abs(a_) < 1e-30, 1e-30, a_)
-            sx = ox - v0x
-            sy = oy - v0y
-            sz = oz - v0z
-            uu = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = f * (dx * qx + dy * qy + dz * qz)
-            tt = f * (e2x * qx + e2y * qy + e2z * qz)
-            ok = (
-                (jnp.abs(a_) >= TRI_EPS)
-                & (uu >= 0.0)
-                & (uu <= 1.0)
-                & (vv >= 0.0)
-                & (uu + vv <= 1.0)
-                & (tt > TRI_EPS)
-                & (tt < t8)
-                & bi["mask"]
-            )
-            t8 = jnp.where(ok, tt, t8)
-            u8 = jnp.where(ok, uu, u8)
-            v8 = jnp.where(ok, vv, v8)
-            slot8 = jnp.where(ok, (lstart + i) * 8 + sub_iota, slot8)
-            test = test + jnp.where(bi["mask"], 8, 0)
-            return t8, u8, v8, slot8, test
+            return sp, steps + 1, t8, u8, v8, slot8, trav, test
 
-        t8, u8, v8, slot8, test = jax.lax.fori_loop(
-            0, eff, row_body, (t8, u8, v8, slot8, test)
-        )
+        out = jax.lax.while_loop(cond, body, carry0)
+        _, _, t8, u8, v8, slot8, trav, test = out
 
-        # push interior hits far->near so the near child pops first
-        for j in reversed(range(8)):
-            m = metas[j]
-            k = (m >> SUB_META_K_SHIFT) & 7
-            nrows = (m >> SUB_META_NROWS_SHIFT) & SUB_META_NROWS_MASK
-            is_interior = (nrows == 0) & ((m & SUB_META_VALID) != 0)
-            push = (((hitmask >> k) & 1) > 0) & is_interior & active
-            stack_ref[b, spm] = m & SUB_META_PTR_MASK
-            spm = spm + push.astype(jnp.int32)
-
-        sp = jnp.where(active, spm, sp)
-        return sp, t8, u8, v8, slot8, trav, test
-
-    def cond(c):
-        steps, blocks = c
-        go = jnp.int32(0)
-        for b in range(NBLOCKS):
-            go = go + (blocks[b][0] > 0).astype(jnp.int32)
-        return (go > 0) & (steps < max_steps)
-
-    def body(c):
-        steps, blocks = c
-        blocks = tuple(block_step(b, blocks[b]) for b in range(NBLOCKS))
-        return steps + 1, blocks
-
-    carry = (jnp.int32(0), tuple(block_init(b) for b in range(NBLOCKS)))
-    steps, blocks = jax.lax.while_loop(cond, body, carry)
-
-    for b in range(NBLOCKS):
-        sp, t8, u8, v8, slot8, trav, test = blocks[b]
         # cross-sublane winner merge (once per block)
         t = t8[0:1]
         u = u8[0:1]
         v = v8[0:1]
         slot = slot8[0:1]
-        for s in range(1, 8):
-            better = t8[s : s + 1] < t
-            t = jnp.where(better, t8[s : s + 1], t)
-            u = jnp.where(better, u8[s : s + 1], u)
-            v = jnp.where(better, v8[s : s + 1], v)
-            slot = jnp.where(better, slot8[s : s + 1], slot)
-        sb = slice(b, b + 1)
-        t_ref[0, sb, :] = t
-        u_ref[0, sb, :] = u
-        v_ref[0, sb, :] = v
-        slot_ref[0, sb, :] = slot
-        trav_ref[0, sb, :] = trav
-        test_ref[0, sb, :] = test
+        for si in range(1, 8):
+            better = t8[si : si + 1] < t
+            t = jnp.where(better, t8[si : si + 1], t)
+            u = jnp.where(better, u8[si : si + 1], u)
+            v = jnp.where(better, v8[si : si + 1], v)
+            slot = jnp.where(better, slot8[si : si + 1], slot)
+        t_ref[0, s, :] = t
+        u_ref[0, s, :] = u
+        v_ref[0, s, :] = v
+        slot_ref[0, s, :] = slot
+        trav_ref[0, s, :] = trav
+        test_ref[0, s, :] = test
 
 
 @functools.partial(

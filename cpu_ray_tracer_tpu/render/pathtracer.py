@@ -191,7 +191,7 @@ def sample_radiance(
         point = s["o"] + t[..., None] * s["d"]
         normal, uv, mat_id = query.get_hit_info(scene, res, point, s["d"])
         mf = query.material_fields(scene, mat_id)
-        albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point)
+        albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point, fields=mf)
         is_light = mf["is_light"] & hit
         radiance = radiance + jnp.where(
             is_light[..., None], s["throughput"] * scene.light_color, 0.0
@@ -351,7 +351,13 @@ def sample_radiance(
     # scatter: traversed/tested are returned in internal compaction order —
     # every consumer (traversal_summary) reduces them, which is
     # permutation-invariant.
-    out = jnp.zeros((r, 3), jnp.float32).at[state["pixel"]].set(radiance)
+    # `pixel` is a true permutation of 0..r-1 (one sample per pixel per
+    # pass), so tell XLA: unique indices admit the cheap scatter lowering
+    out = (
+        jnp.zeros((r, 3), jnp.float32)
+        .at[state["pixel"]]
+        .set(radiance, unique_indices=True)
+    )
     return out, dict(
         rays_traced=rays_traced,
         traversed=state["traversed"],

@@ -51,7 +51,7 @@ def _shade_level(
     point = o + t[..., None] * d
     normal, uv, mat_id = query.get_hit_info(scene, res, point, d)
     mf = query.material_fields(scene, mat_id)
-    albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point)
+    albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point, fields=mf)
 
     is_light = mf["is_light"] & hit_mask
     surf = hit_mask & (~is_light)

@@ -348,6 +348,19 @@ def material_fields(scene, mat_id: jnp.ndarray):
     gathers cost ~10ms each at 1M rays; a [R, M] @ [M, 10] matmul is
     effectively free on the MXU)."""
     m = scene.materials
+    # texture-table columns ride the same matmul: per-material (offset,
+    # width, height) joined from the atlas here (M-sized gathers, free)
+    # kills the three per-RAY table gathers in the texture tap.  f32 holds
+    # integers exactly below 2^24 — texel offsets beyond that fall back to
+    # the gather path in get_albedo.
+    tid_m = m.tex_id
+    ts = jnp.maximum(tid_m, 0)
+    atlas = scene.atlas
+    tex_cols = [
+        jnp.where(tid_m >= 0, atlas.offset[ts], 0).astype(jnp.float32)[:, None],
+        jnp.where(tid_m >= 0, atlas.width[ts], 1).astype(jnp.float32)[:, None],
+        jnp.where(tid_m >= 0, atlas.height[ts], 1).astype(jnp.float32)[:, None],
+    ]
     table = jnp.concatenate(
         [
             m.albedo,  # 0:3
@@ -356,13 +369,14 @@ def material_fields(scene, mat_id: jnp.ndarray):
             m.absorption,  # 5:8
             m.is_light[:, None].astype(jnp.float32),  # 8
             m.tex_id[:, None].astype(jnp.float32),  # 9
+            *tex_cols,  # 10:13 tex offset / width / height
         ],
         axis=1,
     )
     oh = jax.nn.one_hot(mat_id, m.count, dtype=jnp.float32)
     # HIGHEST precision: the default TPU matmul rounds the f32 table through
     # bf16, shifting reflectivity/refractivity lobe thresholds by ~0.4% vs
-    # the reference's exact values; the [R, M] @ [M, 10] matmul is tiny.
+    # the reference's exact values; the [R, M] @ [M, 13] matmul is tiny.
     f = jnp.dot(
         oh, table, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -374,12 +388,31 @@ def material_fields(scene, mat_id: jnp.ndarray):
         absorption=f[..., 5:8],
         is_light=f[..., 8] > 0.5,
         tex_id=jnp.round(f[..., 9]).astype(jnp.int32),
+        tex_off=jnp.round(f[..., 10]).astype(jnp.int32),
+        tex_w=jnp.round(f[..., 11]).astype(jnp.int32),
+        tex_h=jnp.round(f[..., 12]).astype(jnp.int32),
     )
 
 
-def get_albedo(scene: DeviceScene, mat_id: jnp.ndarray, uv: jnp.ndarray, obj=None, point=None):
+def get_albedo(scene: DeviceScene, mat_id: jnp.ndarray, uv: jnp.ndarray, obj=None, point=None, fields=None):
     """Material::GetAlbedo plus the reference's isAlbedoOverridden path
-    (renderer.cpp:32): PrimitiveScene walls override albedo procedurally."""
+    (renderer.cpp:32): PrimitiveScene walls override albedo procedurally.
+
+    `fields` (an optional material_fields() result) enables the fused path:
+    the texture-table values already rode the one-hot matmul, so the tap is
+    a single packed-texel gather instead of five per-ray gathers."""
+    if (
+        fields is not None
+        and not isinstance(scene, prim_scene.PrimScene)
+        and not scene.bilinear
+        and scene.atlas.packed is not None
+        and int(scene.atlas.packed.shape[0]) < (1 << 24)
+    ):
+        texel = tex_mod.nearest_texel(
+            scene.atlas, fields["tex_off"], fields["tex_w"], fields["tex_h"],
+            uv[..., 0], uv[..., 1],
+        )
+        return jnp.where((fields["tex_id"] >= 0)[..., None], texel, fields["albedo"])
     if isinstance(scene, prim_scene.PrimScene):
         base = scene.materials.albedo[mat_id]
         if obj is None or point is None:
