@@ -63,6 +63,7 @@ def single():
             lambda res: (
                 jnp.mean(res["traversed"].astype(jnp.float32)),
                 jnp.percentile(res["traversed"].astype(jnp.float32), 95),
+                jnp.mean(res["tested"].astype(jnp.float32)),
             )
         )(query.find_nearest(sc, o, d, sort_rays=True))
     )
@@ -85,9 +86,9 @@ def single():
         return (time.time() - t) / n
 
     ms = chain(ob, db) * 1000
-    mean_tr, p95_tr = jax.device_get(fstats(scene, ob, db))
+    mean_tr, p95_tr, mean_te = jax.device_get(fstats(scene, ob, db))
     ms_coh = chain(o, d) * 1000
-    mean_c, p95_c = jax.device_get(fstats(scene, o, d))
+    mean_c, p95_c, mean_te_c = jax.device_get(fstats(scene, o, d))
 
     cfg = {k: os.environ.get(k, "") for k in (
         "CRT_PACKET_TILE", "CRT_PACKET_GROUPS", "CRT_PACKET_UNROLL",
@@ -98,17 +99,19 @@ def single():
         sorted_bounce_ms=round(float(ms), 2),
         bounce_steps_mean=round(float(mean_tr), 1),
         bounce_steps_p95=round(float(p95_tr), 1),
+        bounce_tested_mean=round(float(mean_te), 1),
         coherent_ms=round(float(ms_coh), 2),
         coherent_steps_mean=round(float(mean_c), 1),
+        coherent_tested_mean=round(float(mean_te_c), 1),
     )), flush=True)
 
 
 def sweep():
     cfgs = [
         {"CRT_SUBLANE": "1"},  # v2: sequential blocks + multipop 4
-        {"CRT_SUBLANE": "1", "CRT_SUBLANE_POP": "2"},
-        {"CRT_SUBLANE": "1", "CRT_SUBLANE_POP": "1"},
         {},  # binary packet kernel, TILE 4096 default
+        {"CRT_PACKET_TILE": "8192"},
+        {"CRT_PACKET_TILE": "2048"},
     ]
     for c in cfgs:
         env = dict(os.environ, **c)

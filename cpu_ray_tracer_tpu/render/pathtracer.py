@@ -171,10 +171,44 @@ def sample_radiance(
 
     nearest = query.find_nearest_diff if differentiable else query.find_nearest
 
-    def bounce(depth, s):
+    # t-capped two-phase bounce traversal (opt-in, CRT_TCAP=0.1): bounce rays
+    # usually hit NEARBY geometry, and a small t0 cap makes the slab test
+    # (tmin < t_best) prune almost the whole tree.  A hit found under the cap
+    # IS the global nearest (any farther hit has larger t), so only capped
+    # MISSES pay the full-range second pass — correctness is exact, not
+    # approximate.  Default OFF: on open-sky scenes ~40% of bounce rays
+    # escape, miss under the cap, and pay both passes (bench: 6.73 -> 6.28
+    # Mrays/s at 0.1); a win only on closed interiors.
+    tcap_frac = float(_os.environ.get("CRT_TCAP", "0"))
+    world = getattr(scene, "packed", None)
+    use_tcap = (
+        not differentiable
+        and tcap_frac > 0
+        and world is not None
+        and getattr(scene, "use_pallas", False)
+    )
+    if use_tcap:
+        import numpy as _np
+
+        diag = float(
+            _np.linalg.norm(_np.asarray(world.world_max) - _np.asarray(world.world_min))
+        )
+        t_cap = jnp.float32(diag * tcap_frac)
+
+    def bounce(depth, s, capped=False):
         """Advance every ray in `s` one path segment (any batch size)."""
         alive = s["alive"]
-        res = nearest(scene, s["o"], s["d"], mask=alive, sort_rays=False)
+        if capped and use_tcap:
+            res = nearest(scene, s["o"], s["d"], t0=t_cap, mask=alive, sort_rays=False)
+            missed = (res["obj_idx"] < 0) & alive
+            res2 = nearest(scene, s["o"], s["d"], mask=missed, sort_rays=False)
+            for k in ("t", "obj_idx", "tri_idx", "mat_id_tri"):
+                res[k] = jnp.where(missed, res2[k], res[k])
+            res["bary"] = jnp.where(missed[..., None], res2["bary"], res["bary"])
+            res["traversed"] = res["traversed"] + res2["traversed"]
+            res["tested"] = res["tested"] + res2["tested"]
+        else:
+            res = nearest(scene, s["o"], s["d"], mask=alive, sort_rays=False)
         t = res["t"]
         obj = res["obj_idx"]
         hit = (obj >= 0) & alive
@@ -292,7 +326,7 @@ def sample_radiance(
             piece, calive = inp
             out = jax.lax.cond(
                 calive > 0,
-                lambda p: bounce(depth, p),
+                lambda p: bounce(depth, p, capped=True),
                 lambda p: p,
                 piece,
             )
