@@ -98,6 +98,58 @@ def main():
     timeit("shade no-tex (hitinfo+materials)", jax.jit(shade_no_tex), scene, res, o, d)
     timeit("tex albedo only", jax.jit(tex_only), scene, res, o, d)
 
+    # --- kernel-only and glue-only pieces (r2: find the pass's 233ms) ---
+    import numpy as np
+    from cpu_ray_tracer_tpu.render.pathtracer import (
+        _compaction_perm,
+        _permute_state,
+    )
+
+    ftrav = jax.jit(
+        lambda sc, o, d: query.find_nearest(sc, o, d, sort_rays=False)["t"].sum()
+    )
+    timeit("traverse kernel coherent (no sort)", ftrav, scene, o, d)
+
+    # bounce-like rays: random hemisphere dirs from primary hit points,
+    # sorted ONCE outside the timed region -> pure kernel cost on the
+    # exact ray population the production bounce traverses
+    rng = np.random.default_rng(0)
+    hitp = o + res["t"][..., None] * d
+    rd = jnp.asarray(rng.normal(size=(o.shape[0], 3)).astype(np.float32))
+    rd = rd / jnp.linalg.norm(rd, axis=1, keepdims=True)
+    ob, db = hitp + rd * 1e-3, rd
+    alive = jnp.ones((o.shape[0],), jnp.bool_)
+    perm = jax.jit(_compaction_perm)(scene, ob, db, alive)
+    obs, dbs = ob[perm], db[perm]
+    jax.block_until_ready((obs, dbs))
+    timeit("traverse kernel bounce pre-sorted (no sort)", ftrav, scene, obs, dbs)
+
+    # production resort: key+argsort+ONE packed [R,24] gather
+    state = dict(
+        o=ob, d=db,
+        throughput=jnp.ones_like(ob), radiance=jnp.zeros_like(ob),
+        miss_d=jnp.zeros_like(ob), miss_tp=jnp.zeros_like(ob),
+        seed=jnp.arange(o.shape[0], dtype=jnp.uint32),
+        inside=jnp.zeros((o.shape[0],), jnp.bool_),
+        alive=alive,
+        traversed=jnp.zeros((o.shape[0],), jnp.int32),
+        tested=jnp.zeros((o.shape[0],), jnp.int32),
+        pixel=jnp.arange(o.shape[0], dtype=jnp.int32),
+    )
+
+    def resort(sc, st):
+        p = _compaction_perm(sc, st["o"], st["d"], st["alive"])
+        return _permute_state(st, p)["o"].sum()
+
+    timeit("production resort (argsort + packed gather)", jax.jit(resort), scene, state)
+
+    def argsort_only(sc, st):
+        return _compaction_perm(sc, st["o"], st["d"], st["alive"]).sum()
+
+    timeit("argsort only", jax.jit(argsort_only), scene, state)
+
+    timeit("sky gather only", jax.jit(lambda sc, d: query.sky_color(sc, d).sum()), scene, d)
+
 
 if __name__ == "__main__":
     main()

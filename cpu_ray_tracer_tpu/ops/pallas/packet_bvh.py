@@ -68,6 +68,9 @@ GSUB = TILE_SHAPE[0] // max(GROUPS, 1)  # sublanes per cursor group
 # SMEM scalar node tables: on (1 = default) uses pk.node_aabb/meta2/links for
 # the per-step fetch when they fit the budget; 0 forces the VMEM row path.
 SMEM_NODES = _os.environ.get("CRT_SMEM_NODES", "1") != "0"
+# profiling-only: 1 skips all leaf Möller–Trumbore work (results are WRONG);
+# isolates node-walk cost from leaf-row cost in the probes
+NO_LEAF = _os.environ.get("CRT_NO_LEAF", "0") == "1"
 SMEM_BUDGET = int(_os.environ.get("CRT_SMEM_BUDGET", str(480 * 1024)))  # bytes
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
@@ -106,6 +109,10 @@ def _kernel(
          nx_ref, ny_ref, nz_ref, tu_ref, tv_ref, mat_ref) = rest[1:]
     else:
         t_ref, u_ref, v_ref, slot_ref, trav_ref, test_ref = rest
+    # trav/test are LANE-UNIFORM within a cursor group (every masked lane
+    # increments together on the shared union walk), so they are carried as
+    # per-group SMEM scalars, not (GSUB, 128) vectors — 8 fewer vregs of
+    # while-carry.  Broadcast to per-ray shape happens outside the kernel.
     pid = pl.program_id(0)
 
     def group_inputs(g):
@@ -126,7 +133,7 @@ def _kernel(
         steps, groups = c
         go = jnp.int32(0)
         for g in range(GROUPS):
-            cur, t, u, v, slot, trav, test = groups[g][:7]
+            cur, t, u, v, slot = groups[g][:5]
             gg = (cur >= 0).astype(jnp.int32)
             if any_hit:
                 # a lane still "needs" traversal while it has no hit; derived
@@ -143,6 +150,7 @@ def _kernel(
             cur, t, u, v, slot, trav, test, nx, ny, nz, tu, tv, mat = c
         else:
             cur, t, u, v, slot, trav, test = c
+        # trav/test: per-group SCALAR step/test counters (lane-uniform)
         # safe when cur < 0 (parked): the unrolled second step may be
         # executed predicated on TPU, so reads must stay in bounds and
         # state must not advance
@@ -194,7 +202,7 @@ def _kernel(
         n_hit = jnp.sum(lane_hit.astype(jnp.int32))
         any_lane = n_hit > 0
 
-        trav = trav + jnp.where(mask & active, 1, 0)
+        trav = trav + jnp.where(active, 1, 0)
 
         def leaf_tests(args):
             def row_body(i, args2):
@@ -258,14 +266,14 @@ def _kernel(
                         tu = jnp.where(ok, ww * u0a + uu * u1a + vv * u2a, tu)
                         tv = jnp.where(ok, ww * v0a + uu * v1a + vv * v2a, tv)
                         mat = jnp.where(ok, m_id.astype(jnp.int32), mat)
-                test = test + jnp.where(mask, TRIS_PER_ROW, 0)
+                test = test + TRIS_PER_ROW
                 if with_shade:
                     return t, u, v, slot, test, nx, ny, nz, tu, tv, mat
                 return t, u, v, slot, test
 
             return jax.lax.fori_loop(0, nrows, row_body, args)
 
-        do_leaf = any_lane & is_leaf
+        do_leaf = any_lane & is_leaf & (not NO_LEAF)
         if with_shade:
             t, u, v, slot, test, nx, ny, nz, tu, tv, mat = jax.lax.cond(
                 do_leaf, leaf_tests, lambda a: a,
@@ -313,8 +321,8 @@ def _kernel(
             jnp.zeros(gshape, jnp.float32),
             jnp.zeros(gshape, jnp.float32),
             jnp.full(gshape, -1, jnp.int32),
-            jnp.zeros(gshape, jnp.int32),
-            jnp.zeros(gshape, jnp.int32),
+            jnp.int32(0),  # trav: scalar steps counter
+            jnp.int32(0),  # test: scalar tri-test counter
         )
         if with_shade:
             init = init + (
@@ -336,8 +344,8 @@ def _kernel(
         u_ref[0, s, :] = u
         v_ref[0, s, :] = v
         slot_ref[0, s, :] = slot
-        trav_ref[0, s, :] = trav
-        test_ref[0, s, :] = test
+        trav_ref[pid, g] = trav
+        test_ref[pid, g] = test
         if with_shade:
             nx, ny, nz, tu, tv, mat = groups[g][7:]
             nx_ref[0, s, :] = nx
@@ -372,9 +380,12 @@ def _run(
     full = lambda ndim: pl.BlockSpec(memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32)
-    out_shapes = [f32, f32, f32, i32, i32, i32]  # t u v slot traversed tested
-    extra_in = []
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # trav/test: per-(tile, group) scalars in SMEM (lane-uniform stats)
+    stat = jax.ShapeDtypeStruct((n_tiles, max(GROUPS, 1)), jnp.int32)
+    out_shapes = [f32, f32, f32, i32, stat, stat]  # t u v slot traversed tested
+    out_specs = [tile_spec] * 4 + [smem_spec] * 2
+    extra_in = []
     smem = isinstance(node_rows, tuple)
     in_specs = [
         smem_spec,  # octants
@@ -385,6 +396,7 @@ def _run(
     node_in = node_rows if smem else (node_rows,)
     if with_shade:
         out_shapes += [f32, f32, f32, f32, f32, i32]  # nx ny nz tu tv mat
+        out_specs += [tile_spec] * 6
         extra_in = [shade_rows]
         in_specs.append(full(2))
     kernel = functools.partial(
@@ -396,7 +408,7 @@ def _run(
         grid=(n_tiles,),
         out_shape=out_shapes,
         in_specs=in_specs,
-        out_specs=[tile_spec] * len(out_shapes),
+        out_specs=out_specs,
         interpret=interpret,
     )(oct_per_tile, *comps, *node_in, tri_rows, *extra_in)
 
@@ -481,6 +493,12 @@ def traverse(
     def unpad(x):
         return x.reshape(-1)[:r]
 
+    def bstat(x):
+        # (n_tiles, GROUPS) scalar stats -> per-ray, masked like the old
+        # per-lane counters (dead lanes report 0)
+        per_ray = jnp.repeat(x.reshape(-1), TILE // max(GROUPS, 1))
+        return jnp.where(maskp > 0.5, per_ray, 0).reshape(-1)[:r]
+
     t = unpad(t)
     u = unpad(u)
     v = unpad(v)
@@ -488,9 +506,17 @@ def traverse(
     res = dict(
         t=t,
         bary=jnp.stack([u, v], axis=-1),
-        traversed=unpad(trav),
-        tested=unpad(test),
+        traversed=bstat(trav),
+        tested=bstat(test),
     )
+    if any_hit:
+        # occlusion queries need only the hit FLAG: pad triangles are
+        # degenerate and never win, so slot >= 0 already means "real hit" —
+        # skip the per-ray slot_meta gather entirely
+        res["tri_idx"] = jnp.where(slot >= 0, 0, -1)
+        res["obj_id"] = jnp.full_like(slot, -1)
+        res["mat_id"] = jnp.full_like(slot, -1)
+        return res
     if with_shade:
         nx, ny, nz, tu, tv, mat = outs[6:]
         # normal normalized here (reference normalizes after the lerp,

@@ -31,6 +31,8 @@ sequential stream.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -89,9 +91,19 @@ def _permute_state(state: dict, perm: jnp.ndarray) -> dict:
 
 
 def _compaction_perm(scene: DeviceScene, o, d, alive):
-    """Sort key: (dead-last, origin Morton, direction octant)."""
-    root = getattr(scene, "bvh", None)
+    """Compaction sort key (perf-only: the estimator is order-invariant, so
+    the image is bit-identical under ANY permutation here).
+
+    Default "octant": STABLE (dead-last, direction octant) — preserves the
+    state's existing origin order (pixel order at bounce 1, cumulatively
+    coherent later), which measures FASTER than re-binning by 7-bit Morton
+    (31.8 vs 39.5 ms bounce kernel on bunny_teapot) and needs no Morton key.
+    CRT_RESORT=morton restores the (dead, Morton, octant) key."""
     oct_ = ray_octants(d)
+    if _os.environ.get("CRT_RESORT", "octant") == "octant":
+        key = jnp.where(alive, oct_, jnp.int32(8))
+        return jnp.argsort(key, stable=True)
+    root = getattr(scene, "bvh", None)
     if getattr(scene, "shared", None) is not None:
         # shared-instancing mode: mesh-0's root box is object space; the
         # instance-AABB union is the world box
@@ -146,8 +158,6 @@ def sample_radiance(
     use them only through permutation-invariant reductions.
     `compaction_chunks`: chunks per bounce >= 1 (default 4 when divisible;
     1 disables skipping)."""
-    import os as _os
-
     r = o.shape[0]
     if compaction_chunks is None:
         c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "16"))
