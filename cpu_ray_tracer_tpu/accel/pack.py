@@ -52,6 +52,10 @@ class PackedBVH:
     # [R_t * 8] i32: tri(20 bits) | obj(6) << 20 | mat(6) << 26, -1 pad —
     # ONE gather recovers all three hit ids (gathers cost ~per-index on TPU)
     slot_meta: jnp.ndarray = None
+    # True when tri_shade_rows lane 15 holds the slot_meta word BITCAST to
+    # f32 (instead of mat as a float): traverse() then recovers ids AND the
+    # shading record with a single [R, 16] gather per call instead of two
+    meta_in_shade: bool = struct.field(pytree_node=False, default=False)
     # SMEM scalar node tables (the fast fetch path): a node step becomes ~10
     # native scalar loads broadcast straight into the slab test — no VMEM row
     # fetch, no lane rotate, no scalar extracts.  96 B/node total, so they
@@ -188,9 +192,31 @@ def pack_host(
     (Never pull device arrays back: device->host transfers can be orders of
     magnitude slower than host->device on tunneled TPU runtimes.)"""
     view = HostBVHView(node_min.shape[0], node_min, node_max, left_first, tri_count)
+    # when the hit ids fit the packed meta word AND shading records are
+    # present, bitcast the per-tri meta into shade lane 15 (replacing the
+    # float mat id) so ONE [R, 16] gather recovers ids + shading attributes
+    meta_in_shade = False
+    n_tris = tri_v0.shape[0]
+    ids_packable = (
+        obj_id is not None
+        and mat_id is not None
+        and n_tris < (1 << 20)
+        and obj_id.max(initial=0) < (1 << 6)
+        and mat_id.max(initial=0) < (1 << 5)
+    )
+    if ids_packable and shade16 is not None:
+        tri_meta = (
+            np.arange(n_tris, dtype=np.int32)
+            | (obj_id.astype(np.int32) << 20)
+            | (mat_id.astype(np.int32) << 26)
+        )
+        shade16 = np.ascontiguousarray(shade16, dtype=np.float32).copy()
+        shade16.view(np.int32)[:, 15] = tri_meta  # bit-level, NaN-safe
+        meta_in_shade = True
     pk = pack_bvh(view, tri_indices, tri_v0, tri_e1, tri_e2, hit, miss, shade16=shade16)
     pk = pk.replace(
         root=root,
+        meta_in_shade=meta_in_shade,
         world_min=tuple(float(x) for x in node_min[root]),
         world_max=tuple(float(x) for x in node_max[root]),
     )

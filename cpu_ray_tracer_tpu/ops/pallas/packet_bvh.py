@@ -95,6 +95,7 @@ def _kernel(
     max_steps: int,
     with_shade: bool,
     smem: bool,
+    meta_shade: bool = False,
 ):
     # node data: either one VMEM row table, or three SMEM scalar tables
     if smem:
@@ -259,7 +260,15 @@ def _kernel(
                         u0a, v0a = srow[0, sl0 + 9], srow[0, sl0 + 10]
                         u1a, v1a = srow[0, sl0 + 11], srow[0, sl0 + 12]
                         u2a, v2a = srow[0, sl0 + 13], srow[0, sl0 + 14]
-                        m_id = srow[0, sl0 + 15]
+                        m_raw = srow[0, sl0 + 15]
+                        if meta_shade:
+                            # lane 15 is the meta word bitcast to f32
+                            m_id = (
+                                jax.lax.bitcast_convert_type(m_raw, jnp.int32)
+                                >> 26
+                            ) & 0x3F
+                        else:
+                            m_id = m_raw
                         nx = jnp.where(ok, ww * n0x + uu * n1x + vv * n2x, nx)
                         ny = jnp.where(ok, ww * n0y + uu * n1y + vv * n2y, ny)
                         nz = jnp.where(ok, ww * n0z + uu * n1z + vv * n2z, nz)
@@ -361,7 +370,10 @@ def _tile_arrays(x: jnp.ndarray, n_tiles: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("any_hit", "interpret", "root", "max_steps", "with_shade")
+    jax.jit,
+    static_argnames=(
+        "any_hit", "interpret", "root", "max_steps", "with_shade", "meta_shade",
+    ),
 )
 def _run(
     oct_per_tile,
@@ -374,6 +386,7 @@ def _run(
     max_steps: int,
     interpret: bool,
     with_shade: bool,
+    meta_shade: bool = False,
 ):
     n_tiles = oct_per_tile.shape[0]
     tile_spec = pl.BlockSpec((1, *TILE_SHAPE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -401,7 +414,7 @@ def _run(
         in_specs.append(full(2))
     kernel = functools.partial(
         _kernel, root=root, any_hit=any_hit, max_steps=max_steps,
-        with_shade=with_shade, smem=smem,
+        with_shade=with_shade, smem=smem, meta_shade=meta_shade,
     )
     return pl.pallas_call(
         kernel,
@@ -487,6 +500,7 @@ def traverse(
         max_steps=max_steps,
         interpret=interpret,
         with_shade=with_shade,
+        meta_shade=pk.meta_in_shade,
     )
     t, u, v, slot, trav, test = outs[:6]
 
@@ -527,7 +541,18 @@ def traverse(
         res["shade_normal"] = n
         res["shade_uv"] = jnp.stack([unpad(tu), unpad(tv)], axis=-1)
         mat_id = unpad(mat)
-    if pk.slot_meta is not None:
+    if pk.meta_in_shade and not with_shade and pk.tri_shade_rows is not None:
+        # ONE [R, 16] gather recovers the hit ids (meta bitcast in lane 15)
+        # AND the shading record (lanes 0:15) — replaces the separate
+        # slot_meta gather + the post-traversal shade-record gather
+        rec = pk.tri_shade_rows.reshape(-1, TRI_F)[jnp.maximum(slot, 0)]
+        meta = jax.lax.bitcast_convert_type(rec[..., 15], jnp.int32)
+        found = (slot >= 0) & (meta >= 0)
+        tri_idx = jnp.where(found, meta & 0xFFFFF, -1)
+        obj_id = jnp.where(found, (meta >> 20) & 0x3F, -1)
+        mat_id = jnp.where(found, (meta >> 26) & 0x3F, -1)
+        res["shade_rec"] = rec  # n0 n1 n2 (0:9), uv0 uv1 uv2 (9:15)
+    elif pk.slot_meta is not None:
         meta = pk.slot_meta[jnp.maximum(slot, 0)]
         found = (slot >= 0) & (meta >= 0)
         tri_idx = jnp.where(found, meta & 0xFFFFF, -1)

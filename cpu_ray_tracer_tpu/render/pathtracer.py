@@ -215,6 +215,9 @@ def sample_radiance(
             for k in ("t", "obj_idx", "tri_idx", "mat_id_tri"):
                 res[k] = jnp.where(missed, res2[k], res[k])
             res["bary"] = jnp.where(missed[..., None], res2["bary"], res["bary"])
+            for k in ("shade_rec", "shade_normal", "shade_uv"):
+                if k in res:
+                    res[k] = jnp.where(missed[..., None], res2[k], res[k])
             res["traversed"] = res["traversed"] + res2["traversed"]
             res["tested"] = res["tested"] + res2["tested"]
         else:

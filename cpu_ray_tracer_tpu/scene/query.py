@@ -189,6 +189,8 @@ def find_nearest(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=None, ma
     if "shade_normal" in res:  # in-kernel interpolated attributes
         out["shade_normal"] = res["shade_normal"]
         out["shade_uv"] = res["shade_uv"]
+    if "shade_rec" in res:  # fused ids+shading gather (see packet_bvh)
+        out["shade_rec"] = res["shade_rec"]
     return out
 
 
@@ -301,6 +303,18 @@ def get_hit_info(scene: DeviceScene, hit: dict, point: jnp.ndarray, d: jnp.ndarr
 
     if "shade_normal" in hit:
         n_tri, uv_tri = hit["shade_normal"], hit["shade_uv"]
+    elif "shade_rec" in hit:
+        # shading record already gathered by traverse() (fused with the hit
+        # ids): interpolate in place, no per-ray gather here
+        rec = hit["shade_rec"]
+        bary = hit["bary"]
+        w = (1.0 - bary[..., 0] - bary[..., 1])[..., None]
+        bu = bary[..., 0:1]
+        bv = bary[..., 1:2]
+        n_tri = w * rec[..., 0:3] + bu * rec[..., 3:6] + bv * rec[..., 6:9]
+        uv_tri = w * rec[..., 9:11] + bu * rec[..., 11:13] + bv * rec[..., 13:15]
+        sq = jnp.sum(n_tri * n_tri, axis=-1, keepdims=True)
+        n_tri = n_tri * jax.lax.rsqrt(jnp.maximum(sq, np.float32(1e-20)))
     else:
         n_tri, uv_tri = traverse_bvh.interpolate_hit(scene.tris, hit["tri_idx"], hit["bary"])
     if scene.shared is not None:
