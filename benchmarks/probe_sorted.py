@@ -110,8 +110,9 @@ def sweep():
     cfgs = [
         {"CRT_SUBLANE": "1"},  # v2: sequential blocks + multipop 4
         {},  # binary packet kernel, TILE 4096 default
-        {"CRT_PACKET_TILE": "8192"},
-        {"CRT_PACKET_TILE": "2048"},
+        {"CRT_PACKET_GROUPS": "2"},
+        {"CRT_PACKET_GROUPS": "4"},
+        {"CRT_PACKET_GROUPS": "8"},
     ]
     for c in cfgs:
         env = dict(os.environ, **c)

@@ -49,15 +49,15 @@ EPS = constants.SHADE_EPS
 # per-ray state keys permuted by the compaction sort
 _RAY_KEYS = (
     "o", "d", "seed", "throughput", "radiance", "inside", "alive",
-    "traversed", "tested", "miss_d", "miss_tp", "pixel",
+    "traversed", "tested", "miss_d", "miss_tp", "pixel", "locus",
 )
 
 
 def _permute_state(state: dict, perm: jnp.ndarray) -> dict:
     """Apply one permutation to the whole per-ray state with a SINGLE gather:
     all fields are packed (ints bitcast to f32 — a gather only moves bytes)
-    into one [R, 24] array, gathered once, then split back.  TPU gathers
-    cost ~per-index, so one 24-lane gather beats twelve 1-3-lane ones."""
+    into one [R, 25] array, gathered once, then split back.  TPU gathers
+    cost ~per-index, so one 25-lane gather beats a dozen 1-3-lane ones."""
     bc = jax.lax.bitcast_convert_type
     cols = [
         state["o"],  # 0:3
@@ -72,6 +72,7 @@ def _permute_state(state: dict, perm: jnp.ndarray) -> dict:
         bc(state["traversed"], jnp.float32)[..., None],  # 21
         bc(state["tested"], jnp.float32)[..., None],  # 22
         bc(state["pixel"], jnp.float32)[..., None],  # 23
+        bc(state["locus"], jnp.float32)[..., None],  # 24
     ]
     packed = jnp.concatenate(cols, axis=1)[perm]
     return dict(
@@ -87,10 +88,11 @@ def _permute_state(state: dict, perm: jnp.ndarray) -> dict:
         traversed=bc(packed[:, 21], jnp.int32),
         tested=bc(packed[:, 22], jnp.int32),
         pixel=bc(packed[:, 23], jnp.int32),
+        locus=bc(packed[:, 24], jnp.int32),
     )
 
 
-def _compaction_perm(scene: DeviceScene, o, d, alive):
+def _compaction_perm(scene: DeviceScene, o, d, alive, locus=None):
     """Compaction sort key (perf-only: the estimator is order-invariant, so
     the image is bit-identical under ANY permutation here).
 
@@ -100,8 +102,16 @@ def _compaction_perm(scene: DeviceScene, o, d, alive):
     (31.8 vs 39.5 ms bounce kernel on bunny_teapot) and needs no Morton key.
     CRT_RESORT=morton restores the (dead, Morton, octant) key."""
     oct_ = ray_octants(d)
-    if _os.environ.get("CRT_RESORT", "octant") == "octant":
+    mode = _os.environ.get("CRT_RESORT", "octant")
+    if mode == "octant" or (mode == "locus" and locus is None):
         key = jnp.where(alive, oct_, jnp.int32(8))
+        return jnp.argsort(key, stable=True)
+    if mode == "locus":
+        # (dead, octant, previous-hit triangle): rays leaving the same
+        # triangle share an origin to within one primitive — far tighter
+        # tile unions than any quantized-origin code
+        key = (oct_ << 21) | jnp.clip(locus + 1, 0, (1 << 21) - 1)
+        key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
         return jnp.argsort(key, stable=True)
     root = getattr(scene, "bvh", None)
     if getattr(scene, "shared", None) is not None:
@@ -177,6 +187,9 @@ def sample_radiance(
         miss_d=d,
         miss_tp=jnp.zeros((r, 3), jnp.float32),
         pixel=jnp.arange(r, dtype=jnp.int32),
+        # previous-hit triangle id: the finest origin-coherence signal for
+        # the CRT_RESORT=locus compaction key (-1 until the first hit)
+        locus=jnp.full((r,), -1, jnp.int32),
     )
 
     nearest = query.find_nearest_diff if differentiable else query.find_nearest
@@ -300,6 +313,7 @@ def sample_radiance(
             miss_d=miss_d,
             miss_tp=miss_tp,
             pixel=s["pixel"],
+            locus=jnp.where(surf, res["tri_idx"], s["locus"]),
         )
 
     rays_traced = jnp.int32(r)
@@ -312,7 +326,7 @@ def sample_radiance(
     chunk = r // compaction_chunks
 
     def sort_state(st):
-        perm = _compaction_perm(scene, st["o"], st["d"], st["alive"])
+        perm = _compaction_perm(scene, st["o"], st["d"], st["alive"], st["locus"])
         return _permute_state(st, perm)
 
     def depth_body(carry, depth):
