@@ -53,11 +53,15 @@ _RAY_KEYS = (
 )
 
 
-def _permute_state(state: dict, perm: jnp.ndarray) -> dict:
+def _permute_state(state: dict, perm) -> dict:
     """Apply one permutation to the whole per-ray state with a SINGLE gather:
     all fields are packed (ints bitcast to f32 — a gather only moves bytes)
     into one [R, 25] array, gathered once, then split back.  TPU gathers
-    cost ~per-index, so one 25-lane gather beats a dozen 1-3-lane ones."""
+    cost ~per-index, so one 25-lane gather beats a dozen 1-3-lane ones.
+
+    `perm` is either gather indices (sources), or ("scatter", pos) with
+    DESTINATION indices (the counting-sort path computes the inverse
+    permutation directly — applying it as a scatter skips the argsort)."""
     bc = jax.lax.bitcast_convert_type
     cols = [
         state["o"],  # 0:3
@@ -74,7 +78,11 @@ def _permute_state(state: dict, perm: jnp.ndarray) -> dict:
         bc(state["pixel"], jnp.float32)[..., None],  # 23
         bc(state["locus"], jnp.float32)[..., None],  # 24
     ]
-    packed = jnp.concatenate(cols, axis=1)[perm]
+    stacked = jnp.concatenate(cols, axis=1)
+    if isinstance(perm, tuple) and perm[0] == "scatter":
+        packed = jnp.zeros_like(stacked).at[perm[1]].set(stacked)
+    else:
+        packed = stacked[perm]
     return dict(
         o=packed[:, 0:3],
         d=packed[:, 3:6],
@@ -103,6 +111,19 @@ def _compaction_perm(scene: DeviceScene, o, d, alive, locus=None):
     CRT_RESORT=morton restores the (dead, Morton, octant) key."""
     oct_ = ray_octants(d)
     mode = _os.environ.get("CRT_RESORT", "octant")
+    if mode == "octant_cs":
+        # stable 9-bucket counting sort: pos[i] = start[key[i]] + rank-in-
+        # bucket via one-hot cumsum — no 32-bit bitonic sort.  Returns the
+        # INVERSE permutation (destinations); caller scatters with it.
+        key = jnp.where(alive, oct_, jnp.int32(8))
+        oh = jax.nn.one_hot(key, 9, dtype=jnp.int32)
+        within = jnp.cumsum(oh, axis=0) - oh
+        counts = within[-1] + oh[-1]
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+        )
+        pos = jnp.sum(oh * (starts[None, :] + within), axis=1)
+        return ("scatter", pos)
     if mode == "octant" or (mode == "locus" and locus is None):
         key = jnp.where(alive, oct_, jnp.int32(8))
         return jnp.argsort(key, stable=True)

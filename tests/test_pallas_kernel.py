@@ -47,6 +47,49 @@ class TestPacking:
         assert ((meta[:2] >> 26) & 0x3F).tolist() == [31, 31]
         assert pack.make_slot_meta(slot_tri, obj, np.array([31, 32], np.int32)) is None
 
+    def test_meta_in_shade_lane15_roundtrip(self):
+        # the fused ids+shade gather: pack_host bitcasts the per-tri meta
+        # word into shade lane 15 when ids fit; when mat_id overflows 5
+        # bits it must fall back (meta_in_shade False, lane 15 = mat float)
+        tri_v = np.array(
+            [[[0, 0, 0], [1, 0, 0], [0, 1, 0]], [[0, 0, 1], [1, 0, 1], [0, 1, 1]]],
+            np.float32,
+        )
+        v0 = tri_v[:, 0]
+        e1 = tri_v[:, 1] - v0
+        e2 = tri_v[:, 2] - v0
+        node_min = np.array([[0, 0, 0]], np.float32)
+        node_max = np.array([[1, 1, 1]], np.float32)
+        left_first = np.array([0], np.int32)
+        tri_count = np.array([2], np.int32)
+        idx = np.array([0, 1], np.int32)
+        hit = np.full((8, 1), -1, np.int32)
+        miss = np.full((8, 1), -1, np.int32)
+        shade16 = np.zeros((2, 16), np.float32)
+        shade16[:, 15] = [7.0, 9.0]  # mat as float (non-fused layout)
+        obj = np.array([2, 3], np.int32)
+
+        pk = pack.pack_host(
+            node_min, node_max, left_first, tri_count, idx, v0, e1, e2,
+            hit, miss, 0, obj_id=obj, mat_id=np.array([7, 9], np.int32),
+            shade16=shade16,
+        )
+        assert pk.meta_in_shade
+        rows = np.asarray(pk.tri_shade_rows).reshape(-1, 16)
+        meta = rows[:2, 15].view(np.int32)
+        assert (meta & 0xFFFFF).tolist() == [0, 1]
+        assert ((meta >> 20) & 0x3F).tolist() == [2, 3]
+        assert ((meta >> 26) & 0x3F).tolist() == [7, 9]
+
+        pk2 = pack.pack_host(
+            node_min, node_max, left_first, tri_count, idx, v0, e1, e2,
+            hit, miss, 0, obj_id=obj, mat_id=np.array([7, 40], np.int32),
+            shade16=shade16,
+        )
+        assert not pk2.meta_in_shade  # mat 40 needs 6 bits -> fallback
+        rows2 = np.asarray(pk2.tri_shade_rows).reshape(-1, 16)
+        assert rows2[0, 15] == 7.0  # lane 15 stays the float mat id
+
     def test_node_record_roundtrip(self, rng):
         tri_v, pool, bvh, pk = random_scene(rng, 64)
         rows = np.asarray(pk.node_rows)
