@@ -67,7 +67,8 @@ def main():
         ms_pk = time_traverse(scene_pk) * 1000
         # whitted image on the packet path (device mean/diff only: d2h of a
         # full frame is pathologically slow through the tunnel)
-        img = whitted.render_jit(scene_pk, cam)["image"]
+        out_w = whitted.render_adaptive(scene_pk, cam)  # grow-or-fail: no bias
+        img = out_w["image"]
         entry = {
             "packet_find_nearest_ms": round(ms_pk, 2),
             "packet_mrays_s": round(W * H / ms_pk / 1000, 2),

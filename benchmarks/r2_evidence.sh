@@ -19,3 +19,6 @@ timeout 3000 python benchmarks/profile_whitted.py 2>/dev/null | tail -8
 
 echo "=== 4/4 forward bench ==="
 BENCH_SPP=16 timeout 1200 python bench.py 2>/dev/null
+
+echo "=== 5/5 BASELINE configs (steady-state harness) ==="
+timeout 3000 python benchmarks/run_configs.py 2>&1 | tail -8

@@ -17,6 +17,8 @@ never near full).
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -171,7 +173,24 @@ def render(
     instrumentation — plus dropped-ray count)."""
     n = camera.width * camera.height
     rays = cam_mod.full_frame_rays(camera)
-    cap = int(cap_factor * n)
+
+    # Capacity PYRAMID: level L's buffer holds cap_factor*n*decay^(L-1)
+    # rays (floor 8192).  Secondary wavefronts shrink geometrically in
+    # practice (only mirror/dielectric hits emit children), and every
+    # per-level cost — traversal, shadow any-hit, shading, sky gather —
+    # scales with the STATIC buffer width, so fixed full-size levels paid
+    # ~5x the live work (VERDICT #3).  Correctness is unaffected: overflow
+    # at any level is counted and render_adaptive grows cap_factor
+    # (grow-or-fail), so dielectric-heavy scenes that really do double per
+    # level still render unbiased.
+    decay = float(_os.environ.get("CRT_WHITTED_DECAY", "0.5"))
+    # floor never exceeds the requested capacity: deliberately tiny
+    # cap_factors (tests, memory-constrained runs) must still drop+grow
+    floor_cap = max(1, min(int(cap_factor * n), 8192))
+
+    def level_cap(level: int) -> int:
+        c = int(cap_factor * n * decay ** (level - 1))
+        return max(min(c, int(cap_factor * n)), floor_cap)
 
     film = jnp.zeros((n, 3), jnp.float32)
 
@@ -187,21 +206,23 @@ def render(
     dropped = jnp.zeros((), jnp.int32)
 
     if children is not None:
-        o, d, inside, w, pixv, alive, drop = _compact_children(children, pixel0, cap)
+        o, d, inside, w, pixv, alive, drop = _compact_children(
+            children, pixel0, level_cap(1)
+        )
         dropped += drop
 
-        def run_level(emit, carry):
+        def run_level(emit, cap_out, carry):
             """One secondary wavefront level; skipped wholesale (lax.cond)
             when no children were emitted — in mostly-diffuse scenes the
             primary level emits none and the frame costs one level."""
-            film, o, d, inside, w, pixv, alive, dropped = carry
+            film, dropped, o, d, inside, w, pixv, alive = carry
             pix, contrib, children, _ = _shade_level(
                 scene, o, d, inside, w, pixv, alive, emit_children=emit,
                 differentiable=differentiable,
             )
             film = film.at[pix].add(jnp.where(alive[..., None], contrib, 0.0))
             if children is None:
-                return film, o, d, inside, w, pixv, alive, dropped
+                return (film, dropped) + _dead_level(cap_out)
             o, d, inside, w, pixv, alive, drop = _compact_children(
                 dict(
                     emit1=children["emit1"] & alive,
@@ -211,21 +232,43 @@ def render(
                     inside2=children["inside2"],
                 ),
                 pixv,
-                cap,
+                cap_out,
             )
-            return film, o, d, inside, w, pixv, alive, dropped + drop
+            return film, dropped + drop, o, d, inside, w, pixv, alive
 
-        carry = (film, o, d, inside, w, pixv, alive, dropped)
+        def _dead_level(cap_out: int):
+            return (
+                jnp.zeros((cap_out, 3), jnp.float32),
+                jnp.ones((cap_out, 3), jnp.float32),
+                jnp.zeros((cap_out,), jnp.bool_),
+                jnp.zeros((cap_out, 3), jnp.float32),
+                jnp.zeros((cap_out,), jnp.int32),
+                jnp.zeros((cap_out,), jnp.bool_),
+            )
+
+        carry = (film, dropped, o, d, inside, w, pixv, alive)
         for level in range(1, depth_limit + 1):
             emit = level < depth_limit
-            n_live = jnp.sum(carry[6].astype(jnp.int32))
-            carry = jax.lax.cond(
-                n_live > 0,
-                lambda c, emit=emit: run_level(emit, c),
-                lambda c: c,
-                carry,
-            )
-        film, o, d, inside, w, pixv, alive, dropped = carry
+            # next level's (static) buffer width; the last level emits none
+            cap_out = level_cap(level + 1) if emit else floor_cap
+            n_live = jnp.sum(carry[7].astype(jnp.int32))
+            if isinstance(n_live, jax.core.Tracer):
+                carry = jax.lax.cond(
+                    n_live > 0,
+                    lambda c, emit=emit, co=cap_out: run_level(emit, co, c),
+                    lambda c, co=cap_out: (c[0], c[1]) + _dead_level(co),
+                    carry,
+                )
+            elif int(n_live) > 0:
+                # EAGER path: a python branch instead of lax.cond — tracing
+                # the cond eagerly would compile its branches with the scene
+                # arrays inlined as HLO constants (giant programs, XLA CPU
+                # compiler aborts), and eager numerics (no FMA contraction)
+                # are what the scalar-oracle goldens pin
+                carry = run_level(emit, cap_out, carry)
+            else:
+                carry = (carry[0], carry[1]) + _dead_level(cap_out)
+        film, dropped = carry[0], carry[1]
 
     img = film.reshape(camera.height, camera.width, 3)
     return dict(
