@@ -20,3 +20,9 @@ done
 
 echo "=== sort-key union probe (extended keys) ==="
 timeout 1800 python benchmarks/probe_sortvar.py 2>/dev/null || echo "(probe_sortvar gone — rerun by hand)"
+
+echo "=== successor prefetch A/B ==="
+for v in 1 0; do
+  echo "--- CRT_PREFETCH=$v ---"
+  CRT_PREFETCH=$v timeout 900 python bench.py 2>/dev/null
+done

@@ -71,6 +71,13 @@ SMEM_NODES = _os.environ.get("CRT_SMEM_NODES", "1") != "0"
 # profiling-only: 1 skips all leaf Möller–Trumbore work (results are WRONG);
 # isolates node-walk cost from leaf-row cost in the probes
 NO_LEAF = _os.environ.get("CRT_NO_LEAF", "0") == "1"
+# Successor prefetch (SMEM node-table path): each step carries the CURRENT
+# node's record and fetches BOTH successors' records while the
+# vector->scalar hit reduction is still in flight; the branch then SELECTS
+# among prefetched scalars instead of fetching after the reduce — the SMEM
+# load latency leaves the serial chain entirely (sync_probe: the reduce,
+# not the fetch, is the per-step wall).
+PREFETCH = _os.environ.get("CRT_PREFETCH", "1") != "0"
 SMEM_BUDGET = int(_os.environ.get("CRT_SMEM_BUDGET", str(480 * 1024)))  # bytes
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
@@ -130,11 +137,15 @@ def _kernel(
 
     gin = [group_inputs(g) for g in range(GROUPS)]
 
+    prefetch = smem and PREFETCH
+
     def cond(c):
         steps, groups = c
         go = jnp.int32(0)
         for g in range(GROUPS):
-            cur, t, u, v, slot = groups[g][:5]
+            head = groups[g][0]
+            cur = head[0] if prefetch else head
+            t, u, v, slot = groups[g][1:5]
             gg = (cur >= 0).astype(jnp.int32)
             if any_hit:
                 # a lane still "needs" traversal while it has no hit; derived
@@ -145,31 +156,38 @@ def _kernel(
             go = go + gg
         return (go > 0) & (steps < max_steps)
 
+    def fetch_rec(node, o8):
+        """The 10 scalar fields of one node from the SMEM tables."""
+        return (
+            aabb_ref[0, node], aabb_ref[1, node], aabb_ref[2, node],
+            aabb_ref[3, node], aabb_ref[4, node], aabb_ref[5, node],
+            meta_ref[0, node], meta_ref[1, node],
+            links_ref[o8, 0, node], links_ref[o8, 1, node],
+        )
+
     def group_step(g, c):
         ox, oy, oz, dx, dy, dz, rdx, rdy, rdz, mask, o8 = gin[g]
         if with_shade:
-            cur, t, u, v, slot, trav, test, nx, ny, nz, tu, tv, mat = c
+            head, t, u, v, slot, trav, test, nx, ny, nz, tu, tv, mat = c
         else:
-            cur, t, u, v, slot, trav, test = c
+            head, t, u, v, slot, trav, test = c
+        cur = head[0] if prefetch else head
         # trav/test: per-group SCALAR step/test counters (lane-uniform)
         # safe when cur < 0 (parked): the unrolled second step may be
         # executed predicated on TPU, so reads must stay in bounds and
         # state must not advance
         active = cur >= 0
         node = jnp.maximum(cur, 0)
-        if smem:
-            # scalar-table fetch: ~10 native SMEM loads, no rotate/extracts
-            bminx = aabb_ref[0, node]
-            bminy = aabb_ref[1, node]
-            bminz = aabb_ref[2, node]
-            bmaxx = aabb_ref[3, node]
-            bmaxy = aabb_ref[4, node]
-            bmaxz = aabb_ref[5, node]
-            lf = meta_ref[0, node]
-            nrows = meta_ref[1, node]
+        if prefetch:
+            # the current node's record was prefetched by the PREVIOUS step
+            (bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
+             lf, nrows, hit_link, miss_link) = head[1]
             is_leaf = nrows > 0
-            hit_link = links_ref[o8, 0, node]
-            miss_link = links_ref[o8, 1, node]
+        elif smem:
+            # scalar-table fetch: ~10 native SMEM loads, no rotate/extracts
+            (bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
+             lf, nrows, hit_link, miss_link) = fetch_rec(node, o8)
+            is_leaf = nrows > 0
         else:
             r = node // NODES_PER_ROW
             sub = node % NODES_PER_ROW
@@ -204,6 +222,12 @@ def _kernel(
         any_lane = n_hit > 0
 
         trav = trav + jnp.where(active, 1, 0)
+
+        if prefetch:
+            # fetch BOTH successors now — independent of the reduce above,
+            # so the SMEM latency overlaps it instead of following it
+            rec_hit = fetch_rec(jnp.maximum(hit_link, 0), o8)
+            rec_miss = fetch_rec(jnp.maximum(miss_link, 0), o8)
 
         def leaf_tests(args):
             def row_body(i, args2):
@@ -295,9 +319,18 @@ def _kernel(
 
         descend = any_lane & (~is_leaf)
         cur = jnp.where(active, jnp.where(descend, hit_link, miss_link), cur)
+        if prefetch:
+            # select the next node's record among the prefetched pair —
+            # 10 scalar selects instead of a post-reduce refetch
+            rec = tuple(
+                jnp.where(descend, rh, rm) for rh, rm in zip(rec_hit, rec_miss)
+            )
+            head = (cur, rec)
+        else:
+            head = cur
         if with_shade:
-            return cur, t, u, v, slot, trav, test, nx, ny, nz, tu, tv, mat
-        return cur, t, u, v, slot, trav, test
+            return head, t, u, v, slot, trav, test, nx, ny, nz, tu, tv, mat
+        return head, t, u, v, slot, trav, test
 
     def body(c):
         # unrolled: halves/quarters while_loop bookkeeping per node step (the
@@ -324,8 +357,9 @@ def _kernel(
         # the whole tree recording nothing
         mask = gin[g][9]
         cur0 = jnp.where(jnp.sum(mask.astype(jnp.int32)) > 0, root, -1).astype(jnp.int32)
+        head0 = (cur0, fetch_rec(jnp.int32(root), gin[g][10])) if prefetch else cur0
         init = (
-            cur0,
+            head0,
             t0[s],
             jnp.zeros(gshape, jnp.float32),
             jnp.zeros(gshape, jnp.float32),
@@ -348,7 +382,7 @@ def _kernel(
     steps, groups = jax.lax.while_loop(cond, body, carry)
     for g in range(GROUPS):
         s = slice(g * GSUB, (g + 1) * GSUB)
-        cur, t, u, v, slot, trav, test = groups[g][:7]
+        _, t, u, v, slot, trav, test = groups[g][:7]
         t_ref[0, s, :] = t
         u_ref[0, s, :] = u
         v_ref[0, s, :] = v
