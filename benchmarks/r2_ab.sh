@@ -26,3 +26,9 @@ for v in 1 0; do
   echo "--- CRT_PREFETCH=$v ---"
   CRT_PREFETCH=$v timeout 900 python bench.py 2>/dev/null
 done
+
+echo "=== leaf_target sweep (rows dominate; smaller leaves may now win) ==="
+for lt in 16 24 32; do
+  echo "--- CRT_LEAF_TARGET=$lt ---"
+  CRT_LEAF_TARGET=$lt timeout 900 python bench.py 2>/dev/null
+done
