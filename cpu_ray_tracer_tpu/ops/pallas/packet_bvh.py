@@ -78,6 +78,9 @@ NO_LEAF = _os.environ.get("CRT_NO_LEAF", "0") == "1"
 # load latency leaves the serial chain entirely (sync_probe: the reduce,
 # not the fetch, is the per-step wall).
 PREFETCH = _os.environ.get("CRT_PREFETCH", "1") != "0"
+# in-kernel shading-attribute interpolation (normal/uv/mat ride the while
+# carry) — net-negative on v5e (register pressure), kept for experiments
+KERNEL_SHADE = _os.environ.get("CRT_KERNEL_SHADE", "0") == "1"
 SMEM_BUDGET = int(_os.environ.get("CRT_SMEM_BUDGET", str(480 * 1024)))  # bytes
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
@@ -512,7 +515,12 @@ def traverse(
         _tile_arrays(x, n_tiles) for x in (ox, oy, oz, dx, dy, dz, t0p, maskp)
     ]
     max_steps = 4 * pk.num_nodes + 16
-    with_shade = pk.tri_shade_rows is not None and not any_hit
+    # in-kernel attribute interpolation is opt-in (measured net-negative:
+    # +6 vector carries); the shading rows themselves are always packed so
+    # the post-kernel fused ids+shade gather works either way
+    with_shade = (
+        KERNEL_SHADE and pk.tri_shade_rows is not None and not any_hit
+    )
     # prefer the SMEM scalar-table fetch (no rotate/extract chain) when the
     # tables fit the SMEM budget; fall back to VMEM rows for huge scenes
     use_smem = (

@@ -341,7 +341,6 @@ def compile_scene(
         # saved post-traversal gather) — keep available for other topologies
         import os as _os
 
-        want_kernel_shade = _os.environ.get("CRT_KERNEL_SHADE", "0") == "1"
         all_n = np.concatenate(inst_n, axis=0).astype(np.float32)
         all_uv = np.concatenate(inst_uv, axis=0).astype(np.float32)
         mat_arr = np.concatenate(inst_mat, axis=0)
@@ -359,8 +358,11 @@ def compile_scene(
         shade16[:, 11:13] = all_uv[:, 1]
         shade16[:, 13:15] = all_uv[:, 2]
         shade16[:, 15] = mat_arr.astype(np.float32)
-        if not want_kernel_shade:
-            shade16 = None
+        # shade16 is ALWAYS packed: the slot-indexed shading rows carry the
+        # bitcast meta word in lane 15, so traverse() recovers hit ids AND
+        # the shading record in one gather.  Whether the KERNEL also
+        # interpolates attributes in-registers is a separate (env) switch —
+        # that one measured net-negative (carry pressure).
         packed = pack_mod.pack_host(
             host_pack["node_min"], host_pack["node_max"],
             host_pack["left_first"], host_pack["tri_count"],
