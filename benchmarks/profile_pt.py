@@ -135,6 +135,7 @@ def main():
         traversed=jnp.zeros((o.shape[0],), jnp.int32),
         tested=jnp.zeros((o.shape[0],), jnp.int32),
         pixel=jnp.arange(o.shape[0], dtype=jnp.int32),
+        locus=jnp.full((o.shape[0],), -1, jnp.int32),
     )
 
     def resort(sc, st):

@@ -386,46 +386,53 @@ def sample_radiance(
         }
         return (state, rays_traced), None
 
-    # Depths 1..2 run at full width.  Deeper bounces usually have few
-    # survivors, yet the full-width resort costs ~22ms/depth at 1M rays on
-    # v5e (argsort 6 + 24-lane permute gather 16) regardless of liveness —
-    # so depths >= 3 run on a statically NARROWED r/4 buffer when the live
-    # set fits (lax.cond; the full-width scan remains as the fallback for
-    # mirror-box-style scenes where >25% of paths survive 3 bounces).  The
-    # chunk width is identical in both tiers, so the Pallas kernels and the
-    # traced bounce body are shared.
-    shallow = min(depth_limit, 2)
+    # Depth 1 runs at full width (typically >50% of paths survive the
+    # primary hit).  Deeper bounces usually have FEW survivors — measured on
+    # the bench scene: 60.8% live at depth 1, 4.5% at depth 2, <=2.2% past
+    # that — yet a full-width depth iteration costs ~90ms at 1M rays
+    # (resort ~22ms + per-chunk fixed costs) regardless of liveness.  So
+    # after depth 1 a liveness CASCADE picks the narrowest static buffer
+    # from {1, 4} chunks (lax.cond nest) that holds every live ray, and all
+    # remaining depths run inside it; the full-width scan stays as the
+    # fallback for mirror-box-style scenes where most paths survive.  The
+    # chunk width is identical in every tier, so the Pallas kernels and the
+    # traced bounce body are shared across tiers.
     if depth_limit >= 1:
         (state, rays_traced), _ = jax.lax.scan(
-            depth_body, (state, rays_traced), jnp.arange(1, shallow + 1)
+            depth_body, (state, rays_traced), jnp.arange(1, 2)
         )
-    narrow_w = 4 * chunk
-    if depth_limit >= 3:
-        deep = jnp.arange(3, depth_limit + 1)
+    if depth_limit >= 2:
+        deep = jnp.arange(2, depth_limit + 1)
 
         def deep_full(carry):
             (st, rt), _ = jax.lax.scan(depth_body, carry, deep)
             return st, rt
 
-        def deep_narrow(carry):
-            st, rt = carry
-            st = sort_state(st)  # compact live rays into the prefix
-            head = {k: st[k][:narrow_w] for k in _RAY_KEYS}
-            tail = {k: st[k][narrow_w:] for k in _RAY_KEYS}
-            (head, rt), _ = jax.lax.scan(depth_body, (head, rt), deep)
-            st = {
-                k: jnp.concatenate([head[k], tail[k]], axis=0)
-                for k in _RAY_KEYS
-            }
-            return st, rt
+        def make_tier(width):
+            def tier(carry):
+                st, rt = carry
+                st = sort_state(st)  # compact live rays into the prefix
+                head = {k: st[k][:width] for k in _RAY_KEYS}
+                tail = {k: st[k][width:] for k in _RAY_KEYS}
+                (head, rt), _ = jax.lax.scan(depth_body, (head, rt), deep)
+                st = {
+                    k: jnp.concatenate([head[k], tail[k]], axis=0)
+                    for k in _RAY_KEYS
+                }
+                return st, rt
+
+            return tier
 
         n_live = jnp.sum(state["alive"].astype(jnp.int32))
-        if r > narrow_w:
-            state, rays_traced = jax.lax.cond(
-                n_live <= narrow_w, deep_narrow, deep_full, (state, rays_traced)
+        tiers = [w for w in (chunk, 4 * chunk) if w < r]
+        run = deep_full
+        for w in reversed(tiers):  # build the cond nest widest-first
+            run = (
+                lambda carry, w=w, fallback=run: jax.lax.cond(
+                    n_live <= w, make_tier(w), fallback, carry
+                )
             )
-        else:
-            state, rays_traced = deep_full((state, rays_traced))
+        state, rays_traced = run((state, rays_traced))
 
     radiance = state["radiance"] + state["miss_tp"] * query.sky_color(scene, state["miss_d"])
     # un-permute radiance to the caller's ray order.  TPU scatters cost
