@@ -37,6 +37,8 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", SPP))
     width = int(os.environ.get("BENCH_WIDTH", WIDTH))
     height = int(os.environ.get("BENCH_HEIGHT", HEIGHT))
+    spb = int(os.environ.get("BENCH_SPB", "1"))  # samples per megapass
+    assert spp % spb == 0, "BENCH_SPP must be divisible by BENCH_SPB"
 
     scene, info = compile_scene(
         os.path.join(REPO, "assets", "scenes", "bunny_teapot.xml"), layout="tlas"
@@ -51,20 +53,21 @@ def main():
     # bloating the program to ~10MB MLIR and compile times to minutes.
     @jax.jit
     def one_pass(scene, film, nrays, spp_idx):
-        img, stats = pathtracer.render_pass(scene, camera, spp_idx)
+        img, stats = pathtracer.render_pass(scene, camera, spp_idx, samples_per_pass=spb)
         return film + img, nrays + stats["rays_traced"].astype(jnp.float32)
 
     film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
     nrays = jnp.float32(0.0)
-    # warmup / compile
+    # warmup / compile (salt 0 — the timed passes use salts 1..spp, so the
+    # sample-stream set is identical for every BENCH_SPB factorization)
     film, nrays = one_pass(scene, film, nrays, jnp.uint32(0))
     film.block_until_ready()
     film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
     nrays = jnp.float32(0.0)
 
     t0 = time.perf_counter()
-    for p in range(spp):
-        film, nrays = one_pass(scene, film, nrays, jnp.uint32(p + 1))
+    for p in range(spp // spb):
+        film, nrays = one_pass(scene, film, nrays, jnp.uint32(p * spb + 1))
     energy = jnp.sum(film)
     energy.block_until_ready()
     dt = time.perf_counter() - t0
@@ -79,6 +82,7 @@ def main():
         "detail": {
             "resolution": [width, height],
             "spp": spp,
+            "samples_per_pass": spb,
             "seconds": dt,
             "total_rays": total_rays,
             "triangles": info.triangle_count,

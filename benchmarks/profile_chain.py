@@ -87,7 +87,8 @@ def main():
         throughput=jnp.ones((r, 3)), radiance=jnp.zeros((r, 3)),
         inside=jnp.zeros((r,), jnp.bool_), alive=alive,
         traversed=jnp.zeros((r,), jnp.int32), tested=jnp.zeros((r,), jnp.int32),
-        miss_d=d, miss_tp=jnp.zeros((r, 3)), pixel=jnp.arange(r, dtype=jnp.int32),
+        missed=jnp.zeros((r,), jnp.bool_), pixel=jnp.arange(r, dtype=jnp.int32),
+        locus=jnp.full((r,), -1, jnp.int32),
     )
 
     sortf = jax.jit(lambda sc, o, d, a: pathtracer._compaction_perm(sc, o, d, a))

@@ -128,7 +128,7 @@ def main():
     state = dict(
         o=ob, d=db,
         throughput=jnp.ones_like(ob), radiance=jnp.zeros_like(ob),
-        miss_d=jnp.zeros_like(ob), miss_tp=jnp.zeros_like(ob),
+        missed=jnp.zeros((o.shape[0],), jnp.bool_),
         seed=jnp.arange(o.shape[0], dtype=jnp.uint32),
         inside=jnp.zeros((o.shape[0],), jnp.bool_),
         alive=alive,

@@ -95,7 +95,7 @@ def _select_record(row128: jnp.ndarray, sub: jnp.ndarray, n_per_row: int, rec_f:
 
 
 def _kernel(
-    oct_ref,  # SMEM [T, G] i32 per-cursor-group octant
+    oct_ref,  # SMEM [G, T] i32 per-cursor-group octant (group-major)
     ox_ref, oy_ref, oz_ref,  # VMEM [8,128] blocks per tile
     dx_ref, dy_ref, dz_ref,
     t0_ref, mask_ref,
@@ -135,7 +135,7 @@ def _kernel(
             ox, oy, oz, dx, dy, dz,
             1.0 / dx, 1.0 / dy, 1.0 / dz,
             mask_ref[0][s] > 0.5,
-            oct_ref[pid, g],
+            oct_ref[g, pid],
         )
 
     gin = [group_inputs(g) for g in range(GROUPS)]
@@ -390,8 +390,8 @@ def _kernel(
         u_ref[0, s, :] = u
         v_ref[0, s, :] = v
         slot_ref[0, s, :] = slot
-        trav_ref[pid, g] = trav
-        test_ref[pid, g] = test
+        trav_ref[g, pid] = trav
+        test_ref[g, pid] = test
         if with_shade:
             nx, ny, nz, tu, tv, mat = groups[g][7:]
             nx_ref[0, s, :] = nx
@@ -425,20 +425,23 @@ def _run(
     with_shade: bool,
     meta_shade: bool = False,
 ):
-    n_tiles = oct_per_tile.shape[0]
+    n_tiles = oct_per_tile.shape[1]
     tile_spec = pl.BlockSpec((1, *TILE_SHAPE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     full = lambda ndim: pl.BlockSpec(memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((n_tiles, *TILE_SHAPE), jnp.int32)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # trav/test: per-(tile, group) scalars in SMEM (lane-uniform stats)
-    stat = jax.ShapeDtypeStruct((n_tiles, max(GROUPS, 1)), jnp.int32)
+    # per-(tile, group) scalars are laid out [G, n_tiles] (group-MAJOR):
+    # SMEM pads every ROW to 512 B, so the tile-major [n_tiles, G] layout
+    # grew linearly with the grid (452 KB at 900 tiles — SMEM OOM on
+    # megabatches); group-major pads G rows total regardless of grid size
+    stat = jax.ShapeDtypeStruct((max(GROUPS, 1), n_tiles), jnp.int32)
     out_shapes = [f32, f32, f32, i32, stat, stat]  # t u v slot traversed tested
     out_specs = [tile_spec] * 4 + [smem_spec] * 2
     extra_in = []
     smem = isinstance(node_rows, tuple)
     in_specs = [
-        smem_spec,  # octants
+        smem_spec,  # octants [G, n_tiles]
         *[tile_spec] * 8,  # ox..mask
         *([smem_spec] * 3 if smem else [full(3)]),  # node tables
         full(2),  # tris
@@ -532,7 +535,7 @@ def traverse(
         (pk.node_aabb, pk.node_meta2, pk.node_links) if use_smem else pk.node_rows
     )
     outs = _run(
-        oct_tile,
+        oct_tile.T,
         tuple(comps),
         node_in,
         pk.tri_rows,
@@ -552,7 +555,7 @@ def traverse(
     def bstat(x):
         # (n_tiles, GROUPS) scalar stats -> per-ray, masked like the old
         # per-lane counters (dead lanes report 0)
-        per_ray = jnp.repeat(x.reshape(-1), TILE // max(GROUPS, 1))
+        per_ray = jnp.repeat(x.T.reshape(-1), TILE // max(GROUPS, 1))
         return jnp.where(maskp > 0.5, per_ray, 0).reshape(-1)[:r]
 
     t = unpad(t)

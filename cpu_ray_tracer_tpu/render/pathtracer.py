@@ -49,54 +49,60 @@ EPS = constants.SHADE_EPS
 # per-ray state keys permuted by the compaction sort
 _RAY_KEYS = (
     "o", "d", "seed", "throughput", "radiance", "inside", "alive",
-    "traversed", "tested", "miss_d", "miss_tp", "pixel", "locus",
+    "missed", "traversed", "tested", "pixel", "locus",
 )
 
 
 def _permute_state(state: dict, perm) -> dict:
     """Apply one permutation to the whole per-ray state with a SINGLE gather:
     all fields are packed (ints bitcast to f32 — a gather only moves bytes)
-    into one [R, 25] array, gathered once, then split back.  TPU gathers
-    cost ~per-index, so one 25-lane gather beats a dozen 1-3-lane ones.
+    into one [R, 18] array, gathered once, then split back.  TPU gathers
+    cost ~per-index, so one wide gather beats a dozen 1-3-lane ones —
+    but stay at or under 24 lanes: the TPU row-gather lowering has a
+    cliff at 25+ lanes (measured 10.4 ms at [R,24] vs 37.7 ms at [R,25]
+    for R=921600), which is why the bool flags share one bit-packed lane
+    and the miss record is a single bit (see sample_radiance).
 
     `perm` is either gather indices (sources), or ("scatter", pos) with
     DESTINATION indices (the counting-sort path computes the inverse
     permutation directly — applying it as a scatter skips the argsort)."""
     bc = jax.lax.bitcast_convert_type
+    flags = (
+        state["inside"].astype(jnp.int32)
+        + 2 * state["alive"].astype(jnp.int32)
+        + 4 * state["missed"].astype(jnp.int32)
+    )
     cols = [
         state["o"],  # 0:3
         state["d"],  # 3:6
         state["throughput"],  # 6:9
         state["radiance"],  # 9:12
-        state["miss_d"],  # 12:15
-        state["miss_tp"],  # 15:18
-        bc(state["seed"], jnp.float32)[..., None],  # 18
-        bc(state["inside"].astype(jnp.int32), jnp.float32)[..., None],  # 19
-        bc(state["alive"].astype(jnp.int32), jnp.float32)[..., None],  # 20
-        bc(state["traversed"], jnp.float32)[..., None],  # 21
-        bc(state["tested"], jnp.float32)[..., None],  # 22
-        bc(state["pixel"], jnp.float32)[..., None],  # 23
-        bc(state["locus"], jnp.float32)[..., None],  # 24
+        bc(state["seed"], jnp.float32)[..., None],  # 12
+        bc(flags, jnp.float32)[..., None],  # 13 (inside|alive|missed bits)
+        bc(state["traversed"], jnp.float32)[..., None],  # 14
+        bc(state["tested"], jnp.float32)[..., None],  # 15
+        bc(state["pixel"], jnp.float32)[..., None],  # 16
+        bc(state["locus"], jnp.float32)[..., None],  # 17
     ]
     stacked = jnp.concatenate(cols, axis=1)
     if isinstance(perm, tuple) and perm[0] == "scatter":
         packed = jnp.zeros_like(stacked).at[perm[1]].set(stacked)
     else:
         packed = stacked[perm]
+    pflags = bc(packed[:, 13], jnp.int32)
     return dict(
         o=packed[:, 0:3],
         d=packed[:, 3:6],
         throughput=packed[:, 6:9],
         radiance=packed[:, 9:12],
-        miss_d=packed[:, 12:15],
-        miss_tp=packed[:, 15:18],
-        seed=bc(packed[:, 18], jnp.uint32),
-        inside=bc(packed[:, 19], jnp.int32) > 0,
-        alive=bc(packed[:, 20], jnp.int32) > 0,
-        traversed=bc(packed[:, 21], jnp.int32),
-        tested=bc(packed[:, 22], jnp.int32),
-        pixel=bc(packed[:, 23], jnp.int32),
-        locus=bc(packed[:, 24], jnp.int32),
+        seed=bc(packed[:, 12], jnp.uint32),
+        inside=(pflags & 1) > 0,
+        alive=(pflags & 2) > 0,
+        missed=(pflags & 4) > 0,
+        traversed=bc(packed[:, 14], jnp.int32),
+        tested=bc(packed[:, 15], jnp.int32),
+        pixel=bc(packed[:, 16], jnp.int32),
+        locus=bc(packed[:, 17], jnp.int32),
     )
 
 
@@ -202,11 +208,12 @@ def sample_radiance(
         radiance=jnp.zeros((r, 3), jnp.float32),
         inside=jnp.zeros((r,), jnp.bool_),
         alive=jnp.ones((r,), jnp.bool_),
+        # deferred sky (see module docstring): a ray misses AT MOST once and
+        # nothing mutates its d/throughput afterwards, so the miss record is
+        # ONE BIT — sky is applied post-loop as missed * throughput * sky(d)
+        missed=jnp.zeros((r,), jnp.bool_),
         traversed=jnp.zeros((r,), jnp.int32),
         tested=jnp.zeros((r,), jnp.int32),
-        # deferred sky (see module docstring)
-        miss_d=d,
-        miss_tp=jnp.zeros((r, 3), jnp.float32),
         pixel=jnp.arange(r, dtype=jnp.int32),
         # previous-hit triangle id: the finest origin-coherence signal for
         # the CRT_RESORT=locus compaction key (-1 until the first hit)
@@ -261,8 +268,7 @@ def sample_radiance(
         hit = (obj >= 0) & alive
         miss = (~(obj >= 0)) & alive
 
-        miss_d = jnp.where(miss[..., None], s["d"], s["miss_d"])
-        miss_tp = jnp.where(miss[..., None], s["throughput"], s["miss_tp"])
+        missed = s["missed"] | miss
         radiance = s["radiance"]
         # depth cutoff AFTER the miss/sky record (renderer.cpp:52-55)
         # (jnp ops: python `~False` is -2 and would int-promote the mask)
@@ -329,10 +335,9 @@ def sample_radiance(
             radiance=radiance,
             inside=inside,
             alive=surf,
+            missed=missed,
             traversed=s["traversed"] + res["traversed"],
             tested=s["tested"] + res["tested"],
-            miss_d=miss_d,
-            miss_tp=miss_tp,
             pixel=s["pixel"],
             locus=jnp.where(surf, res["tri_idx"], s["locus"]),
         )
@@ -434,7 +439,10 @@ def sample_radiance(
             )
         state, rays_traced = run((state, rays_traced))
 
-    radiance = state["radiance"] + state["miss_tp"] * query.sky_color(scene, state["miss_d"])
+    # missed rays' d and throughput are frozen at miss time (dead lanes are
+    # never mutated), so the deferred sky needs no separate miss_d/miss_tp
+    sky_w = jnp.where(state["missed"][..., None], state["throughput"], 0.0)
+    radiance = state["radiance"] + sky_w * query.sky_color(scene, state["d"])
     # un-permute radiance to the caller's ray order.  TPU scatters cost
     # ~15ms per 1M rows regardless of lane count, so this is the ONLY
     # scatter: traversed/tested are returned in internal compaction order —
@@ -460,21 +468,64 @@ def render_pass(
     spp_index: jnp.ndarray,
     depth_limit: int = constants.DEPTH_LIMIT,
     differentiable: bool = False,
+    samples_per_pass: int = 1,
 ):
-    """One progressive pass: one jittered sample per pixel
-    (3. PathTracer/renderer.cpp:117-131).  Returns (radiance [H, W, 3],
-    stats).  `spp_index` salts the per-pixel RNG stream like the reference's
-    `spp * 1799` tile seed."""
+    """One progressive pass: `samples_per_pass` jittered samples per pixel
+    (3. PathTracer/renderer.cpp:117-131).  Returns (radiance [H, W, 3] =
+    SUM of the pass's samples, stats).  `spp_index` salts the per-pixel RNG
+    stream like the reference's `spp * 1799` tile seed; sample k of the
+    megapass uses salt `spp_index + k`, so a 4-sample megapass at base b
+    draws exactly the same per-sample streams as four 1-sample passes at
+    b, b+1, b+2, b+3 — the estimator is unchanged, only batching differs.
+
+    Why megabatch several samples: ray density per spatial region scales
+    with samples/pixel, and the packet kernel's waste is (tile union size /
+    rays in tile) — denser, pixel-adjacent samples tighten every tile's
+    node/leaf union (primaries near-duplicate; bounce origins cluster on
+    the same surfaces), and per-pass fixed costs amortize."""
     n = camera.width * camera.height
-    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
-    seeds = rng_mod.pixel_seeds(pixel_ids, spp_index)
+    s = samples_per_pass
+    if s == 1:
+        pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+        seeds = rng_mod.pixel_seeds(pixel_ids, spp_index)
+        seeds, jx = rng_mod.random_float(seeds)
+        seeds, jy = rng_mod.random_float(seeds)
+        rays = cam_mod.full_frame_rays(camera, jitter_x=jx, jitter_y=jy)
+        radiance, stats = sample_radiance(
+            scene, rays.o, rays.d, seeds, depth_limit, differentiable=differentiable
+        )
+        return radiance.reshape(camera.height, camera.width, 3), stats
+
+    # pixel-major layout: a pixel's s samples are ADJACENT, so a 4096-ray
+    # kernel tile covers 4096/s pixels — maximum primary coherence
+    pixel_ids = jnp.repeat(jnp.arange(n, dtype=jnp.uint32), s)
+    sample_k = jnp.tile(jnp.arange(s, dtype=jnp.uint32), n)
+    seeds = rng_mod.pixel_seeds(pixel_ids, jnp.asarray(spp_index, jnp.uint32) + sample_k)
     seeds, jx = rng_mod.random_float(seeds)
     seeds, jy = rng_mod.random_float(seeds)
-    rays = cam_mod.full_frame_rays(camera, jitter_x=jx, jitter_y=jy)
-    radiance, stats = sample_radiance(
-        scene, rays.o, rays.d, seeds, depth_limit, differentiable=differentiable
+    xs, ys = cam_mod.pixel_grid(camera)
+    rays = cam_mod.primary_rays(
+        camera, jnp.repeat(xs, s) + jx, jnp.repeat(ys, s) + jy
     )
+    # keep the dead-chunk-skip granularity (chunk SIZE) equal to the 1-spp
+    # configuration by scaling the chunk count with s
+    c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "16")) * s
+    r = n * s
+    chunks = c if r % c == 0 and r >= 4096 else 1
+    radiance, stats = sample_radiance(
+        scene,
+        rays.o,
+        rays.d,
+        seeds,
+        depth_limit,
+        differentiable=differentiable,
+        compaction_chunks=chunks,
+    )
+    radiance = radiance.reshape(n, s, 3).sum(axis=1)
     return radiance.reshape(camera.height, camera.width, 3), stats
 
 
-render_pass_jit = jax.jit(render_pass, static_argnames=("depth_limit", "differentiable"))
+render_pass_jit = jax.jit(
+    render_pass,
+    static_argnames=("depth_limit", "differentiable", "samples_per_pass"),
+)
