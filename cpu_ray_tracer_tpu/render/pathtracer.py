@@ -110,13 +110,15 @@ def _compaction_perm(scene: DeviceScene, o, d, alive, locus=None):
     """Compaction sort key (perf-only: the estimator is order-invariant, so
     the image is bit-identical under ANY permutation here).
 
-    Default "octant": STABLE (dead-last, direction octant) — preserves the
-    state's existing origin order (pixel order at bounce 1, cumulatively
-    coherent later), which measures FASTER than re-binning by 7-bit Morton
-    (31.8 vs 39.5 ms bounce kernel on bunny_teapot) and needs no Morton key.
+    Default "locus": STABLE (dead-last, direction octant, previous-hit
+    triangle id) — the finest origin-coherence key (rays leaving the same
+    triangle share an origin to within one primitive).  With the 18-lane
+    permute this beats "octant" (stable octant only, preserving existing
+    origin order) by ~2% end-to-end; both beat re-binning by 7-bit Morton
+    (31.8 vs 39.5 ms bounce kernel on bunny_teapot).
     CRT_RESORT=morton restores the (dead, Morton, octant) key."""
     oct_ = ray_octants(d)
-    mode = _os.environ.get("CRT_RESORT", "octant")
+    mode = _os.environ.get("CRT_RESORT", "locus")
     if mode == "octant_cs":
         # stable 9-bucket counting sort: pos[i] = start[key[i]] + rank-in-
         # bucket via one-hot cumsum — no 32-bit bitonic sort.  Returns the
@@ -197,7 +199,7 @@ def sample_radiance(
     1 disables skipping)."""
     r = o.shape[0]
     if compaction_chunks is None:
-        c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "16"))
+        c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "32"))
         compaction_chunks = c if r % c == 0 and r >= 4096 else 1
 
     state = dict(
@@ -246,8 +248,16 @@ def sample_radiance(
         )
         t_cap = jnp.float32(diag * tcap_frac)
 
-    def bounce(depth, s, capped=False):
-        """Advance every ray in `s` one path segment (any batch size)."""
+    def bounce(depth, s, capped=False, tap_chunks=1):
+        """Advance every ray in `s` one path segment (any batch size).
+
+        `tap_chunks`: chunk the albedo texel tap (only) so image regions
+        with no textured hit skip its HBM gather (see get_albedo's
+        lax.cond).  Used by the full-width PRIMARY call, whose pixel order
+        is spatially coherent; bounce-depth calls are already chunked by
+        depth_body so they pass 1.  Chunking only the tap (not traversal)
+        keeps kernel tile composition — and thus t-tie resolution on shared
+        triangle edges — identical for any chunk count."""
         alive = s["alive"]
         if capped and use_tcap:
             res = nearest(scene, s["o"], s["d"], t0=t_cap, mask=alive, sort_rays=False)
@@ -278,7 +288,24 @@ def sample_radiance(
         point = s["o"] + t[..., None] * s["d"]
         normal, uv, mat_id = query.get_hit_info(scene, res, point, s["d"])
         mf = query.material_fields(scene, mat_id)
-        albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point, fields=mf)
+        w = mat_id.shape[0]
+        if tap_chunks > 1 and w % tap_chunks == 0:
+
+            def tap_body(_, args):
+                mid_c, uv_c, obj_c, pt_c, mf_c = args
+                return None, query.get_albedo(
+                    scene, mid_c, uv_c, obj=obj_c, point=pt_c, fields=mf_c
+                )
+
+            ck = lambda x: x.reshape(tap_chunks, w // tap_chunks, *x.shape[1:])
+            _, albedo = jax.lax.scan(
+                tap_body,
+                None,
+                (ck(mat_id), ck(uv), ck(obj), ck(point), {k: ck(v) for k, v in mf.items()}),
+            )
+            albedo = albedo.reshape(w, 3)
+        else:
+            albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point, fields=mf)
         is_light = mf["is_light"] & hit
         radiance = radiance + jnp.where(
             is_light[..., None], s["throughput"] * scene.light_color, 0.0
@@ -343,7 +370,7 @@ def sample_radiance(
         )
 
     rays_traced = jnp.int32(r)
-    state = bounce(0, state)
+    state = bounce(0, state, tap_chunks=compaction_chunks)
 
     # Bounces 1..depth_limit as a scan over depth, each a scan over chunks:
     # `bounce` is traced exactly twice (full-width + chunk-width), keeping
@@ -509,7 +536,7 @@ def render_pass(
     )
     # keep the dead-chunk-skip granularity (chunk SIZE) equal to the 1-spp
     # configuration by scaling the chunk count with s
-    c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "16")) * s
+    c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "32")) * s
     r = n * s
     chunks = c if r % c == 0 and r >= 4096 else 1
     radiance, stats = sample_radiance(
