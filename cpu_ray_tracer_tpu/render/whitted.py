@@ -121,11 +121,16 @@ def _compact_children(children, pixel, cap: int):
     bc = jax.lax.bitcast_convert_type
     e1 = children["emit1"]
     e2 = children["emit2"]
+    src = jnp.arange(e1.shape[0], dtype=jnp.int32)
     n1 = jnp.cumsum(e1.astype(jnp.int32))
     total1 = n1[-1]
-    pos1 = jnp.where(e1, n1 - 1, cap)
+    # non-emitting slots get UNIQUE out-of-bounds positions (cap + src, all
+    # distinct) rather than a shared `cap`: every position is then unique,
+    # which admits XLA's fast unique-indices scatter lowering — the shared
+    # dead index forced the serialized scatter (~60ms per 655k rows vs ~8ms)
+    pos1 = jnp.where(e1, n1 - 1, cap + src)
     n2 = jnp.cumsum(e2.astype(jnp.int32))
-    pos2 = jnp.where(e2, total1 + n2 - 1, cap)
+    pos2 = jnp.where(e2, total1 + n2 - 1, cap + src)
 
     pix_f = bc(pixel, jnp.float32)[:, None]
     rec1 = jnp.concatenate(
@@ -145,8 +150,19 @@ def _compact_children(children, pixel, cap: int):
     )
     # dead-slot defaults: o = w = 0, d = 1 (finite reciprocals in the
     # kernel), pix = 0, inside = 0
-    buf = jnp.zeros((cap, 11), jnp.float32).at[:, 3:6].set(1.0)
-    buf = buf.at[pos1].set(rec1, mode="drop").at[pos2].set(rec2, mode="drop")
+    base = jnp.zeros((cap, 11), jnp.float32).at[:, 3:6].set(1.0)
+
+    def scatter(_):
+        return (
+            base.at[pos1].set(rec1, mode="drop", unique_indices=True)
+            .at[pos2].set(rec2, mode="drop", unique_indices=True)
+        )
+
+    # pure-diffuse wavefronts emit nothing at all (e.g. upstream
+    # inside_scene: every material has refl = refr = 0) — skip both
+    # scatters outright in that case
+    count = total1 + n2[-1]
+    buf = jax.lax.cond(count > 0, scatter, lambda _: base, None)
 
     o = buf[:, 0:3]
     d = buf[:, 3:6]
@@ -154,7 +170,6 @@ def _compact_children(children, pixel, cap: int):
     pix = bc(buf[:, 9], jnp.int32)
     inside = bc(buf[:, 10], jnp.int32) > 0
 
-    count = total1 + n2[-1]
     slot = jnp.arange(cap)
     alive = slot < jnp.minimum(count, cap)
     dropped = jnp.maximum(count - cap, 0)
@@ -202,7 +217,9 @@ def render(
         scene, rays.o, rays.d, rays.inside, w0, pixel0, alive0,
         emit_children=depth_limit >= 1, differentiable=differentiable,
     )
-    film = film.at[pix].add(contrib)
+    # level 0's pixel ids are the identity, so the film scatter is a plain
+    # add (a [n,3] scatter-add costs ~10ms at 655k rows; the add is free)
+    film = film + contrib
     dropped = jnp.zeros((), jnp.int32)
 
     if children is not None:
