@@ -678,7 +678,7 @@ def traverse_sorted(
             key = (morton << (3 + 3 * dirbits)) | (dm << 3) | oct_
         key = jnp.where(mask, key, jnp.int32(0x7FFFFFFF))  # dead rays last
         perm = jnp.argsort(key)
-        pos = jnp.zeros((r,), jnp.int32).at[perm].set(jnp.arange(r, dtype=jnp.int32))
+        pos = jnp.zeros((r,), jnp.int32).at[perm].set(jnp.arange(r, dtype=jnp.int32), unique_indices=True)
     else:
         key = jnp.where(mask, oct_, 8)  # dead rays last
         # stable counting sort over 9 buckets (cheaper than a full argsort):
@@ -689,7 +689,7 @@ def traverse_sorted(
         counts = within[-1] + oh[-1]
         starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
         pos = jnp.sum(oh * (starts[None, :] + within), axis=1)  # [R] inverse perm
-        perm = jnp.zeros((r,), jnp.int32).at[pos].set(jnp.arange(r, dtype=jnp.int32))
+        perm = jnp.zeros((r,), jnp.int32).at[pos].set(jnp.arange(r, dtype=jnp.int32), unique_indices=True)
     if traverse_fn is None:
         traverse_fn = traverse
     res = traverse_fn(

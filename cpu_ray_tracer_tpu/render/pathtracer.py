@@ -86,7 +86,7 @@ def _permute_state(state: dict, perm) -> dict:
     ]
     stacked = jnp.concatenate(cols, axis=1)
     if isinstance(perm, tuple) and perm[0] == "scatter":
-        packed = jnp.zeros_like(stacked).at[perm[1]].set(stacked)
+        packed = jnp.zeros_like(stacked).at[perm[1]].set(stacked, unique_indices=True)
     else:
         packed = stacked[perm]
     pflags = bc(packed[:, 13], jnp.int32)
