@@ -470,18 +470,19 @@ def sample_radiance(
     # never mutated), so the deferred sky needs no separate miss_d/miss_tp
     sky_w = jnp.where(state["missed"][..., None], state["throughput"], 0.0)
     radiance = state["radiance"] + sky_w * query.sky_color(scene, state["d"])
-    # un-permute radiance to the caller's ray order.  TPU scatters cost
-    # ~15ms per 1M rows regardless of lane count, so this is the ONLY
-    # scatter: traversed/tested are returned in internal compaction order —
-    # every consumer (traversal_summary) reduces them, which is
-    # permutation-invariant.
-    # `pixel` is a true permutation of 0..r-1 (one sample per pixel per
-    # pass), so tell XLA: unique indices admit the cheap scatter lowering
-    out = (
-        jnp.zeros((r, 3), jnp.float32)
+    # un-permute radiance to the caller's ray order.  Multi-lane scatters
+    # are catastrophically slow on this stack (measured: [R,3] scatter
+    # 78 ms vs [R,3] gather 8.5 ms vs 1-D scatter ~4 ms at R=921600), so
+    # invert the permutation with a ONE-LANE iota scatter and apply it as
+    # a gather: inv[pixel[j]] = j  =>  out[i] = radiance[inv[i]].
+    # traversed/tested stay in internal compaction order — every consumer
+    # (traversal_summary) reduces them, which is permutation-invariant.
+    inv = (
+        jnp.zeros((r,), jnp.int32)
         .at[state["pixel"]]
-        .set(radiance, unique_indices=True)
+        .set(jnp.arange(r, dtype=jnp.int32), unique_indices=True)
     )
+    out = radiance[inv]
     return out, dict(
         rays_traced=rays_traced,
         traversed=state["traversed"],
