@@ -467,9 +467,35 @@ def sample_radiance(
         state, rays_traced = run((state, rays_traced))
 
     # missed rays' d and throughput are frozen at miss time (dead lanes are
-    # never mutated), so the deferred sky needs no separate miss_d/miss_tp
-    sky_w = jnp.where(state["missed"][..., None], state["throughput"], 0.0)
-    radiance = state["radiance"] + sky_w * query.sky_color(scene, state["d"])
+    # never mutated), so the deferred sky needs no separate miss_d/miss_tp.
+    # The equirect gather is chunked like the texel tap: compaction leaves
+    # absorbed/live rays clustered, so chunks with no missed ray skip the
+    # ~11 ns/ray HBM gather via lax.cond.
+    def sky_contrib(missed, tp, d):
+        sky_w = jnp.where(missed[..., None], tp, 0.0)
+        return sky_w * query.sky_color(scene, d)
+
+    if compaction_chunks > 1 and r % compaction_chunks == 0:
+        ck = lambda x: x.reshape(compaction_chunks, r // compaction_chunks, *x.shape[1:])
+
+        def sky_body(_, args):
+            missed, tp, d = args
+            out = jax.lax.cond(
+                jnp.any(missed),
+                lambda a: sky_contrib(*a),
+                lambda a: jnp.zeros_like(a[1]),
+                (missed, tp, d),
+            )
+            return None, out
+
+        _, sky = jax.lax.scan(
+            sky_body, None, (ck(state["missed"]), ck(state["throughput"]), ck(state["d"]))
+        )
+        radiance = state["radiance"] + sky.reshape(r, 3)
+    else:
+        radiance = state["radiance"] + sky_contrib(
+            state["missed"], state["throughput"], state["d"]
+        )
     # un-permute radiance to the caller's ray order.  Multi-lane scatters
     # are catastrophically slow on this stack (measured: [R,3] scatter
     # 78 ms vs [R,3] gather 8.5 ms vs 1-D scatter ~4 ms at R=921600), so
@@ -477,12 +503,19 @@ def sample_radiance(
     # a gather: inv[pixel[j]] = j  =>  out[i] = radiance[inv[i]].
     # traversed/tested stay in internal compaction order — every consumer
     # (traversal_summary) reduces them, which is permutation-invariant.
-    inv = (
-        jnp.zeros((r,), jnp.int32)
-        .at[state["pixel"]]
-        .set(jnp.arange(r, dtype=jnp.int32), unique_indices=True)
-    )
-    out = radiance[inv]
+    # When no compaction sort ever ran (depth 0 or chunks == 1) `pixel` is
+    # still the identity and the inverse is skipped outright — also dodges
+    # an XLA TPU fusion-pass crash on constant-iota-indexed scatters
+    # (scatter_emitter.cc CHECK operand_indices.size() == 1).
+    if depth_limit == 0 or compaction_chunks == 1:
+        out = radiance
+    else:
+        inv = (
+            jnp.zeros((r,), jnp.int32)
+            .at[state["pixel"]]
+            .set(jnp.arange(r, dtype=jnp.int32), unique_indices=True)
+        )
+        out = radiance[inv]
     return out, dict(
         rays_traced=rays_traced,
         traversed=state["traversed"],
