@@ -199,7 +199,7 @@ def sample_radiance(
     1 disables skipping)."""
     r = o.shape[0]
     if compaction_chunks is None:
-        c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "32"))
+        c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "48"))
         compaction_chunks = c if r % c == 0 and r >= 4096 else 1
 
     state = dict(
@@ -570,7 +570,7 @@ def render_pass(
     )
     # keep the dead-chunk-skip granularity (chunk SIZE) equal to the 1-spp
     # configuration by scaling the chunk count with s
-    c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "32")) * s
+    c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "48")) * s
     r = n * s
     chunks = c if r % c == 0 and r >= 4096 else 1
     radiance, stats = sample_radiance(
