@@ -198,7 +198,14 @@ def sample_radiance(
     `compaction_chunks`: chunks per bounce >= 1 (default 4 when divisible;
     1 disables skipping)."""
     r = o.shape[0]
-    if compaction_chunks is None:
+    if differentiable:
+        # No chunking under grad: the per-chunk lax.scan saves its residuals
+        # STACKED per chunk ([n_chunks, chunk, ..., 1] — the trailing 1 pads
+        # 128x on TPU, OOMing at ~900MB per broadcast), and dead-chunk
+        # skipping buys nothing when the backward re-traverses everything
+        # anyway.  One full-width program is both smaller and grad-correct.
+        compaction_chunks = 1
+    elif compaction_chunks is None:
         c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "48"))
         compaction_chunks = c if r % c == 0 and r >= 4096 else 1
 
