@@ -31,6 +31,7 @@ sequential stream.
 
 from __future__ import annotations
 
+import functools
 import os as _os
 
 import jax
@@ -46,11 +47,96 @@ from cpu_ray_tracer_tpu.scene.types import DeviceScene
 
 EPS = constants.SHADE_EPS
 
+
+def _default_chunks() -> int:
+    """Compaction chunks per bounce (shared by sample_radiance and
+    render_pass — keep the default in ONE place).  48 measured best on v5e
+    at the 921600-ray headline (12.4 -> 12.9 Mrays/s vs 32)."""
+    return int(_os.environ.get("CRT_COMPACTION_CHUNKS", "48"))
+
 # per-ray state keys permuted by the compaction sort
 _RAY_KEYS = (
     "o", "d", "seed", "throughput", "radiance", "inside", "alive",
     "missed", "traversed", "tested", "pixel", "locus",
 )
+
+
+@jax.custom_vjp
+def _apply_perm(x, perm, inv):
+    """Permutation gather with a GATHER backward: y = x[perm] transposes to
+    dL/dx = dL/dy[inv] because a permutation's adjoint is its inverse.  The
+    autodiff default would transpose the gather into a random-index
+    multi-lane scatter — the measured TPU scatter cliff (78 ms vs 8.5 ms for
+    [R,3] at R=921600, see docs/ROOFLINE.md) — which made compaction
+    unusable under grad in r2."""
+    return x[perm]
+
+
+def _apply_perm_fwd(x, perm, inv):
+    return x[perm], inv
+
+
+def _apply_perm_bwd(inv, g):
+    return (g[inv], None, None)
+
+
+_apply_perm.defvjp(_apply_perm_fwd, _apply_perm_bwd)
+
+
+def _inverse_perm(perm):
+    """Inverse permutation via the fast 1-D iota scatter (rank-1 scatters
+    avoid the TPU scatter cliff)."""
+    r = perm.shape[0]
+    return (
+        jnp.zeros((r,), jnp.int32)
+        .at[perm]
+        .set(jnp.arange(r, dtype=jnp.int32), unique_indices=True)
+    )
+
+
+def _permute_state_diff(state: dict, perm) -> dict:
+    """Differentiable-mode permutation: float fields ride one [R, 12] pack
+    through the custom-vjp gather (_apply_perm); integer/flag fields ride a
+    separate int32 [R, 6] gather, which autodiff ignores entirely (integer
+    arrays carry no tangents) — no bitcast ever meets a differentiated
+    value."""
+    bc = jax.lax.bitcast_convert_type
+    inv = _inverse_perm(perm)
+    fl = jnp.concatenate(
+        [state["o"], state["d"], state["throughput"], state["radiance"]], axis=1
+    )
+    fl = _apply_perm(fl, perm, inv)
+    flags = (
+        state["inside"].astype(jnp.int32)
+        + 2 * state["alive"].astype(jnp.int32)
+        + 4 * state["missed"].astype(jnp.int32)
+    )
+    ints = jnp.stack(
+        [
+            bc(state["seed"], jnp.int32),
+            flags,
+            state["traversed"],
+            state["tested"],
+            state["pixel"],
+            state["locus"],
+        ],
+        axis=1,
+    )[perm]
+    pflags = ints[:, 1]
+    return dict(
+        o=fl[:, 0:3],
+        d=fl[:, 3:6],
+        throughput=fl[:, 6:9],
+        radiance=fl[:, 9:12],
+        seed=bc(ints[:, 0], jnp.uint32),
+        inside=(pflags & 1) > 0,
+        alive=(pflags & 2) > 0,
+        missed=(pflags & 4) > 0,
+        traversed=ints[:, 2],
+        tested=ints[:, 3],
+        pixel=ints[:, 4],
+        locus=ints[:, 5],
+    )
 
 
 def _permute_state(state: dict, perm) -> dict:
@@ -106,7 +192,7 @@ def _permute_state(state: dict, perm) -> dict:
     )
 
 
-def _compaction_perm(scene: DeviceScene, o, d, alive, locus=None):
+def _compaction_perm(scene: DeviceScene, o, d, alive, locus=None, allow_scatter=True):
     """Compaction sort key (perf-only: the estimator is order-invariant, so
     the image is bit-identical under ANY permutation here).
 
@@ -119,6 +205,8 @@ def _compaction_perm(scene: DeviceScene, o, d, alive, locus=None):
     CRT_RESORT=morton restores the (dead, Morton, octant) key."""
     oct_ = ray_octants(d)
     mode = _os.environ.get("CRT_RESORT", "locus")
+    if mode == "octant_cs" and not allow_scatter:
+        mode = "octant"  # diff mode needs a gatherable permutation
     if mode == "octant_cs":
         # stable 9-bucket counting sort: pos[i] = start[key[i]] + rank-in-
         # bucket via one-hot cumsum — no 32-bit bitonic sort.  Returns the
@@ -181,64 +269,178 @@ def _compaction_perm(scene: DeviceScene, o, d, alive, locus=None):
     return jnp.argsort(key)
 
 
-def sample_radiance(
-    scene: DeviceScene,
-    o: jnp.ndarray,
-    d: jnp.ndarray,
-    seeds: jnp.ndarray,
-    depth_limit: int = constants.DEPTH_LIMIT,
-    differentiable: bool = False,
-    compaction_chunks: int | None = None,
+def _bounce_step(
+    scene, nearest, depth_limit, use_tcap, t_cap, depth, s,
+    capped=False, tap_chunks=1,
 ):
-    """Estimate radiance along rays (o, d) [R, 3] with per-ray uint32 seeds.
+    """Advance every ray in `s` one path segment (any batch size).
 
-    Returns (radiance [R, 3] in the INPUT ray order, stats dict).  The
-    per-ray stats (traversed/tested) are in internal compaction order —
-    use them only through permutation-invariant reductions.
-    `compaction_chunks`: chunks per bounce >= 1 (default 4 when divisible;
-    1 disables skipping)."""
-    r = o.shape[0]
-    if differentiable:
-        # No chunking under grad: the per-chunk lax.scan saves its residuals
-        # STACKED per chunk ([n_chunks, chunk, ..., 1] — the trailing 1 pads
-        # 128x on TPU, OOMing at ~900MB per broadcast), and dead-chunk
-        # skipping buys nothing when the backward re-traverses everything
-        # anyway.  One full-width program is both smaller and grad-correct.
-        compaction_chunks = 1
-    elif compaction_chunks is None:
-        c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "48"))
-        compaction_chunks = c if r % c == 0 and r >= 4096 else 1
+    Extracted from sample_radiance so the wavefront-kernel tail
+    (_sample_radiance_wavefront) can reuse the exact same bounce.
 
-    state = dict(
-        o=o,
-        d=d,
-        seed=seeds,
-        throughput=jnp.ones((r, 3), jnp.float32),
-        radiance=jnp.zeros((r, 3), jnp.float32),
-        inside=jnp.zeros((r,), jnp.bool_),
-        alive=jnp.ones((r,), jnp.bool_),
-        # deferred sky (see module docstring): a ray misses AT MOST once and
-        # nothing mutates its d/throughput afterwards, so the miss record is
-        # ONE BIT — sky is applied post-loop as missed * throughput * sky(d)
-        missed=jnp.zeros((r,), jnp.bool_),
-        traversed=jnp.zeros((r,), jnp.int32),
-        tested=jnp.zeros((r,), jnp.int32),
-        pixel=jnp.arange(r, dtype=jnp.int32),
-        # previous-hit triangle id: the finest origin-coherence signal for
-        # the CRT_RESORT=locus compaction key (-1 until the first hit)
-        locus=jnp.full((r,), -1, jnp.int32),
+    `tap_chunks`: chunk the albedo texel tap (only) so image regions
+    with no textured hit skip its HBM gather (see get_albedo's
+    lax.cond).  Used by the full-width PRIMARY call, whose pixel order
+    is spatially coherent; bounce-depth calls are already chunked by
+    depth_body so they pass 1.  Chunking only the tap (not traversal)
+    keeps kernel tile composition — and thus t-tie resolution on shared
+    triangle edges — identical for any chunk count."""
+    alive = s["alive"]
+    if capped and use_tcap:
+        res = nearest(scene, s["o"], s["d"], t0=t_cap, mask=alive, sort_rays=False)
+        missed = (res["obj_idx"] < 0) & alive
+        res2 = nearest(scene, s["o"], s["d"], mask=missed, sort_rays=False)
+        for k in ("t", "obj_idx", "tri_idx", "mat_id_tri"):
+            res[k] = jnp.where(missed, res2[k], res[k])
+        res["bary"] = jnp.where(missed[..., None], res2["bary"], res["bary"])
+        for k in ("shade_rec", "shade_normal", "shade_uv"):
+            if k in res:
+                res[k] = jnp.where(missed[..., None], res2[k], res[k])
+        res["traversed"] = res["traversed"] + res2["traversed"]
+        res["tested"] = res["tested"] + res2["tested"]
+    else:
+        res = nearest(scene, s["o"], s["d"], mask=alive, sort_rays=False)
+    t = res["t"]
+    obj = res["obj_idx"]
+    hit = (obj >= 0) & alive
+    miss = (~(obj >= 0)) & alive
+
+    missed = s["missed"] | miss
+    radiance = s["radiance"]
+    # depth cutoff AFTER the miss/sky record (renderer.cpp:52-55)
+    # (jnp ops: python `~False` is -2 and would int-promote the mask)
+    past_limit = jnp.asarray(depth >= depth_limit)
+    hit = jnp.logical_and(hit, jnp.logical_not(past_limit))
+
+    point = s["o"] + t[..., None] * s["d"]
+    normal, uv, mat_id = query.get_hit_info(scene, res, point, s["d"])
+    mf = query.material_fields(scene, mat_id)
+    w = mat_id.shape[0]
+    if tap_chunks > 1 and w % tap_chunks == 0:
+
+        def tap_body(_, args):
+            mid_c, uv_c, obj_c, pt_c, mf_c = args
+            return None, query.get_albedo(
+                scene, mid_c, uv_c, obj=obj_c, point=pt_c, fields=mf_c
+            )
+
+        ck = lambda x: x.reshape(tap_chunks, w // tap_chunks, *x.shape[1:])
+        _, albedo = jax.lax.scan(
+            tap_body,
+            None,
+            (ck(mat_id), ck(uv), ck(obj), ck(point), {k: ck(v) for k, v in mf.items()}),
+        )
+        albedo = albedo.reshape(w, 3)
+    else:
+        albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point, fields=mf)
+    is_light = mf["is_light"] & hit
+    radiance = radiance + jnp.where(
+        is_light[..., None], s["throughput"] * scene.light_color, 0.0
+    )
+    surf = hit & (~is_light)
+
+    refl = mf["reflectivity"]
+    refr = mf["refractivity"]
+    medium = jnp.where(
+        s["inside"][..., None],
+        jnp.exp(mf["absorption"] * (-t)[..., None]),
+        1.0,
     )
 
-    nearest = query.find_nearest_diff if differentiable else query.find_nearest
+    seed = s["seed"]
+    seed, r_lobe = rng_mod.random_float(seed)
+    pick_mirror = surf & (r_lobe < refl)
+    pick_diel = surf & (~pick_mirror) & (r_lobe < refl + refr)
+    pick_diff = surf & (~pick_mirror) & (~pick_diel)
 
-    # t-capped two-phase bounce traversal (opt-in, CRT_TCAP=0.1): bounce rays
-    # usually hit NEARBY geometry, and a small t0 cap makes the slab test
-    # (tmin < t_best) prune almost the whole tree.  A hit found under the cap
-    # IS the global nearest (any farther hit has larger t), so only capped
-    # MISSES pay the full-range second pass — correctness is exact, not
-    # approximate.  Default OFF: on open-sky scenes ~40% of bounce rays
-    # escape, miss under the cap, and pay both passes (bench: 6.73 -> 6.28
-    # Mrays/s at 0.1); a win only on closed interiors.
+    # dielectric: stochastic Fresnel branch (renderer.cpp:27-45)
+    fr, can_refract, t_dir, r_dir = common.dielectric_terms(s["d"], normal, s["inside"])
+    seed, r_fresnel = rng_mod.random_float(seed)
+    take_refract = pick_diel & can_refract & (r_fresnel > fr)
+
+    # diffuse: uniform hemisphere + estimator brdf * 2pi * cos
+    seed, r1 = rng_mod.random_float(seed)
+    seed, r2 = rng_mod.random_float(seed)
+    diff_dir = common.uniform_hemisphere(normal, r1, r2)
+    cosr = jnp.maximum(common.vm.dot(diff_dir, normal), 0.0)
+    diff_w = albedo * constants.INVPI * (2.0 * constants.PI) * cosr[..., None]
+
+    new_d = jnp.where(
+        pick_diff[..., None],
+        diff_dir,
+        jnp.where(take_refract[..., None], t_dir, r_dir),
+    )
+    lobe_w = jnp.where(
+        pick_diff[..., None],
+        diff_w,
+        albedo,  # mirror / dielectric multiply albedo only
+    )
+    throughput = jnp.where(
+        surf[..., None], s["throughput"] * medium * lobe_w, s["throughput"]
+    )
+    new_o = point + new_d * EPS
+    inside = jnp.where(take_refract, ~s["inside"], jnp.zeros_like(s["inside"]))
+
+    return dict(
+        o=jnp.where(surf[..., None], new_o, s["o"]),
+        d=jnp.where(surf[..., None], new_d, s["d"]),
+        seed=seed,
+        throughput=throughput,
+        radiance=radiance,
+        inside=inside,
+        alive=surf,
+        missed=missed,
+        traversed=s["traversed"] + res["traversed"],
+        tested=s["tested"] + res["tested"],
+        pixel=s["pixel"],
+        locus=jnp.where(surf, res["tri_idx"], s["locus"]),
+    )
+
+
+def _use_wavefront(scene, differentiable: bool) -> bool:
+    """Eligibility of the in-kernel bounce wavefront
+    (ops/pallas/wavefront_pt.py).  CRT_WAVEFRONT: "auto" (default — on for
+    the real TPU backend), "1" (force on, e.g. interpret-mode tests),
+    "0" (off).  Requirements beyond the packet kernel's: SMEM node tables,
+    fused shade rows, quad light + floor plane present, a small material
+    table, and a packed texel atlas (the deferred-albedo epilogue gathers
+    it)."""
+    mode = _os.environ.get("CRT_WAVEFRONT", "auto")
+    if mode == "0" or differentiable:
+        return False
+    if not getattr(scene, "use_pallas", False):
+        return False
+    pk = getattr(scene, "packed", None)
+    if pk is None or pk.node_aabb is None or pk.tri_shade_rows is None:
+        return False
+    if not pk.meta_in_shade:
+        return False
+    if getattr(scene, "shared", None) is not None:
+        return False
+    # explicit wide/sublane kernel experiments take precedence
+    if scene.packed_wide is not None or scene.packed_sublane is not None:
+        return False
+    if scene.bilinear or not (scene.has_light and scene.has_floor):
+        return False
+    if int(scene.materials.albedo.shape[0]) > 16:
+        return False
+    atlas = scene.atlas
+    if atlas.packed is None or int(atlas.packed.shape[0]) >= (1 << 24):
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _tcap_setup(scene, differentiable: bool):
+    """t-capped two-phase bounce traversal (opt-in, CRT_TCAP=0.1): bounce
+    rays usually hit NEARBY geometry, and a small t0 cap makes the slab test
+    (tmin < t_best) prune almost the whole tree.  A hit found under the cap
+    IS the global nearest (any farther hit has larger t), so only capped
+    MISSES pay the full-range second pass — correctness is exact, not
+    approximate.  Default OFF: on open-sky scenes ~40% of bounce rays
+    escape, miss under the cap, and pay both passes (bench: 6.73 -> 6.28
+    Mrays/s at 0.1); a win only on closed interiors."""
     tcap_frac = float(_os.environ.get("CRT_TCAP", "0"))
     world = getattr(scene, "packed", None)
     use_tcap = (
@@ -247,6 +449,7 @@ def sample_radiance(
         and world is not None
         and getattr(scene, "use_pallas", False)
     )
+    t_cap = None
     if use_tcap:
         import numpy as _np
 
@@ -254,141 +457,247 @@ def sample_radiance(
             _np.linalg.norm(_np.asarray(world.world_max) - _np.asarray(world.world_min))
         )
         t_cap = jnp.float32(diag * tcap_frac)
+    return use_tcap, t_cap
 
-    def bounce(depth, s, capped=False, tap_chunks=1):
-        """Advance every ray in `s` one path segment (any batch size).
 
-        `tap_chunks`: chunk the albedo texel tap (only) so image regions
-        with no textured hit skip its HBM gather (see get_albedo's
-        lax.cond).  Used by the full-width PRIMARY call, whose pixel order
-        is spatially coherent; bounce-depth calls are already chunked by
-        depth_body so they pass 1.  Chunking only the tap (not traversal)
-        keeps kernel tile composition — and thus t-tie resolution on shared
-        triangle edges — identical for any chunk count."""
-        alive = s["alive"]
-        if capped and use_tcap:
-            res = nearest(scene, s["o"], s["d"], t0=t_cap, mask=alive, sort_rays=False)
-            missed = (res["obj_idx"] < 0) & alive
-            res2 = nearest(scene, s["o"], s["d"], mask=missed, sort_rays=False)
-            for k in ("t", "obj_idx", "tri_idx", "mat_id_tri"):
-                res[k] = jnp.where(missed, res2[k], res[k])
-            res["bary"] = jnp.where(missed[..., None], res2["bary"], res["bary"])
-            for k in ("shade_rec", "shade_normal", "shade_uv"):
-                if k in res:
-                    res[k] = jnp.where(missed[..., None], res2[k], res[k])
-            res["traversed"] = res["traversed"] + res2["traversed"]
-            res["tested"] = res["tested"] + res2["tested"]
+def _chunked_contrib(fn, any_mask, args, chunks: int):
+    """Map `fn(*args) -> [W, 3]` over chunked [R, ...] args, skipping chunks
+    where `any_mask` has no set lane (lax.cond — real runtime skipping;
+    skipped chunks contribute zeros)."""
+    r = any_mask.shape[0]
+    if chunks <= 1 or r % chunks != 0:
+        return fn(*args)
+    w = r // chunks
+    ck = lambda x: x.reshape(chunks, w, *x.shape[1:])
+
+    def body(_, a):
+        m, aa = a
+        out = jax.lax.cond(
+            jnp.any(m),
+            lambda z: fn(*z),
+            lambda z: jnp.zeros((w, 3), jnp.float32),
+            aa,
+        )
+        return None, out
+
+    _, out = jax.lax.scan(body, None, (ck(any_mask), tuple(ck(x) for x in args)))
+    return out.reshape(r, *out.shape[2:])
+
+
+def _sample_radiance_wavefront(
+    scene, o, d, seeds, depth_limit: int, compaction_chunks: int
+):
+    """sample_radiance via the in-kernel bounce wavefront: the first
+    CRT_WF_DEPTHS (default 2) bounce depths run inside ONE Pallas program
+    per ray tile with state resident in VMEM (no per-depth HBM round-trip,
+    no sorts — rays stay in pixel order); survivors spill once into the
+    standard sorted liveness-cascade tail.
+
+    Exactness: the kernel defers every texture tap by recording texel
+    INDICES (see ops/pallas/wavefront_pt.py module docstring for why this
+    commutes); this epilogue multiplies the factors back, adds the terminal
+    emissions (light hit / deferred sky), runs the tail for rays alive
+    after the kernel depths, and combines:
+
+        radiance = (kernel_emission + tail_radiance) * kernel_texel_product
+
+    The three emission sources are mutually exclusive per ray (a path
+    terminates exactly once)."""
+    from cpu_ray_tracer_tpu.ops.pallas import wavefront_pt
+
+    r = o.shape[0]
+    k_depths = min(int(_os.environ.get("CRT_WF_DEPTHS", "1")), depth_limit + 1)
+    interpret = jax.default_backend() != "tpu"
+    wf = wavefront_pt.trace(
+        scene, o, d, seeds, k_depths, depth_limit, interpret=interpret
+    )
+    chunks = compaction_chunks if r % max(compaction_chunks, 1) == 0 else 1
+
+    # deferred texel factors: one chunked gather per kernel depth (chunks
+    # with no textured hit skip the HBM gather entirely; bounce depths >= 1
+    # rarely record any)
+    packed = scene.atlas.packed
+    scale = jnp.float32(1.0 / 255.0)
+
+    def tex_rgb(idx):
+        p = packed[jnp.maximum(idx, 0)]
+        rgb = jnp.stack(
+            [
+                ((p >> 16) & 0xFF).astype(jnp.float32),
+                ((p >> 8) & 0xFF).astype(jnp.float32),
+                (p & 0xFF).astype(jnp.float32),
+            ],
+            axis=-1,
+        ) * scale
+        return jnp.where((idx >= 0)[..., None], rgb, 1.0)
+
+    factor = jnp.ones((r, 3), jnp.float32)
+    for k in range(k_depths):
+        idx = wf["tex_idx"][:, k]
+        f_k = _chunked_contrib(
+            lambda i: tex_rgb(i) - 1.0, idx >= 0, (idx,), chunks
+        )
+        factor = factor * (f_k + 1.0)
+
+    # terminal emissions (mutually exclusive per ray)
+    emit = jnp.where(wf["lit"][..., None], wf["tp"] * scene.light_color, 0.0)
+
+    def sky_fn(m, tp, dd):
+        return jnp.where(m[..., None], tp, 0.0) * query.sky_color(scene, dd)
+
+    emit = emit + _chunked_contrib(
+        sky_fn, wf["missed"], (wf["missed"], wf["tp"], wf["d"]), chunks
+    )
+
+    rays_traced = jnp.sum(wf["live_counts"]).astype(jnp.int32)
+    traversed = wf["traversed"]
+    tested = wf["tested"]
+
+    if k_depths <= depth_limit:
+        # spill the survivors into the sorted liveness-cascade tail
+        state = dict(
+            o=wf["o"],
+            d=wf["d"],
+            seed=wf["seed"],
+            throughput=wf["tp"],
+            radiance=jnp.zeros((r, 3), jnp.float32),
+            inside=wf["inside"],
+            alive=wf["alive"],
+            missed=jnp.zeros((r,), jnp.bool_),
+            traversed=traversed,
+            tested=tested,
+            pixel=jnp.arange(r, dtype=jnp.int32),
+            locus=wf["locus"],
+        )
+        # Per-depth kernel bounces (CRT_WF_BOUNCE=1) measured NET-NEGATIVE on
+        # v5e (11.58 vs 12.73 Mrays/s at the headline): carrying the six
+        # shading attributes through the while loop costs about what the
+        # fused hit-record gather + material matmul it replaces cost.  Kept
+        # as an option; default is the XLA bounce.
+        if _os.environ.get("CRT_WF_BOUNCE", "0") == "1":
+            bounce = functools.partial(_bounce_step_kernel, scene, depth_limit)
         else:
-            res = nearest(scene, s["o"], s["d"], mask=alive, sort_rays=False)
-        t = res["t"]
-        obj = res["obj_idx"]
-        hit = (obj >= 0) & alive
-        miss = (~(obj >= 0)) & alive
-
-        missed = s["missed"] | miss
-        radiance = s["radiance"]
-        # depth cutoff AFTER the miss/sky record (renderer.cpp:52-55)
-        # (jnp ops: python `~False` is -2 and would int-promote the mask)
-        past_limit = jnp.asarray(depth >= depth_limit)
-        hit = jnp.logical_and(hit, jnp.logical_not(past_limit))
-
-        point = s["o"] + t[..., None] * s["d"]
-        normal, uv, mat_id = query.get_hit_info(scene, res, point, s["d"])
-        mf = query.material_fields(scene, mat_id)
-        w = mat_id.shape[0]
-        if tap_chunks > 1 and w % tap_chunks == 0:
-
-            def tap_body(_, args):
-                mid_c, uv_c, obj_c, pt_c, mf_c = args
-                return None, query.get_albedo(
-                    scene, mid_c, uv_c, obj=obj_c, point=pt_c, fields=mf_c
-                )
-
-            ck = lambda x: x.reshape(tap_chunks, w // tap_chunks, *x.shape[1:])
-            _, albedo = jax.lax.scan(
-                tap_body,
-                None,
-                (ck(mat_id), ck(uv), ck(obj), ck(point), {k: ck(v) for k, v in mf.items()}),
+            use_tcap, t_cap = _tcap_setup(scene, False)
+            bounce = functools.partial(
+                _bounce_step, scene, query.find_nearest, depth_limit,
+                use_tcap, t_cap,
             )
-            albedo = albedo.reshape(w, 3)
-        else:
-            albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point, fields=mf)
-        is_light = mf["is_light"] & hit
-        radiance = radiance + jnp.where(
-            is_light[..., None], s["throughput"] * scene.light_color, 0.0
+        chunk = r // max(chunks, 1)
+        depth_body = _make_depth_body(scene, bounce, chunk)
+        next_d = k_depths
+        if next_d == 1 and depth_limit >= 1:
+            # depth 1 at full width like the host path (>50% of paths
+            # usually survive the primary hit — the cascade would pick its
+            # full-width fallback anyway, but a straight scan step avoids an
+            # extra full-width compaction sort)
+            (state, rays_traced), _ = jax.lax.scan(
+                depth_body, (state, rays_traced), jnp.arange(1, 2)
+            )
+            next_d = 2
+        if next_d <= depth_limit:
+            state, rays_traced = _cascade(
+                scene, state, rays_traced,
+                jnp.arange(next_d, depth_limit + 1), chunk, depth_body, r,
+            )
+        tail_rad = state["radiance"] + _chunked_contrib(
+            sky_fn, state["missed"],
+            (state["missed"], state["throughput"], state["d"]), chunks,
         )
-        surf = hit & (~is_light)
+        if chunks > 1:
+            inv = (
+                jnp.zeros((r,), jnp.int32)
+                .at[state["pixel"]]
+                .set(jnp.arange(r, dtype=jnp.int32), unique_indices=True)
+            )
+            tail_rad = tail_rad[inv]
+        emit = emit + tail_rad
+        traversed = state["traversed"]
+        tested = state["tested"]
 
-        refl = mf["reflectivity"]
-        refr = mf["refractivity"]
-        medium = jnp.where(
-            s["inside"][..., None],
-            jnp.exp(mf["absorption"] * (-t)[..., None]),
-            1.0,
-        )
+    return emit * factor, dict(
+        rays_traced=rays_traced, traversed=traversed, tested=tested
+    )
 
-        seed = s["seed"]
-        seed, r_lobe = rng_mod.random_float(seed)
-        pick_mirror = surf & (r_lobe < refl)
-        pick_diel = surf & (~pick_mirror) & (r_lobe < refl + refr)
-        pick_diff = surf & (~pick_mirror) & (~pick_diel)
 
-        # dielectric: stochastic Fresnel branch (renderer.cpp:27-45)
-        fr, can_refract, t_dir, r_dir = common.dielectric_terms(s["d"], normal, s["inside"])
-        seed, r_fresnel = rng_mod.random_float(seed)
-        take_refract = pick_diel & can_refract & (r_fresnel > fr)
+def _bounce_step_kernel(scene, depth_limit, depth, s, capped=False, tap_chunks=1):
+    """_bounce_step with the traverse->shade->bounce-math of ONE depth run
+    inside the wavefront Pallas kernel (ops/pallas/wavefront_pt.py,
+    k_depths=1) instead of XLA ops.  The caller's sort/cascade machinery is
+    unchanged — this replaces only the per-depth compute, killing the fused
+    hit-record gather, the material one-hot matmul and the XLA lobe math.
 
-        # diffuse: uniform hemisphere + estimator brdf * 2pi * cos
-        seed, r1 = rng_mod.random_float(seed)
-        seed, r2 = rng_mod.random_float(seed)
-        diff_dir = common.uniform_hemisphere(normal, r1, r2)
-        cosr = jnp.maximum(common.vm.dot(diff_dir, normal), 0.0)
-        diff_w = albedo * constants.INVPI * (2.0 * constants.PI) * cosr[..., None]
+    The kernel's internal depth cutoff is disabled (depth here is a TRACED
+    scan value; the kernel's is static) and applied right here instead:
+    `past` suppresses the light contribution and kills survivors, exactly
+    _bounce_step's `past_limit` (miss/sky is recorded first, matching
+    renderer.cpp:52-55).  `capped`/`tap_chunks` are accepted for signature
+    parity and ignored (the texel tap below is already cond-skipped)."""
+    from cpu_ray_tracer_tpu.ops.pallas import wavefront_pt
 
-        new_d = jnp.where(
-            pick_diff[..., None],
-            diff_dir,
-            jnp.where(take_refract[..., None], t_dir, r_dir),
-        )
-        lobe_w = jnp.where(
-            pick_diff[..., None],
-            diff_w,
-            albedo,  # mirror / dielectric multiply albedo only
-        )
-        throughput = jnp.where(
-            surf[..., None], s["throughput"] * medium * lobe_w, s["throughput"]
-        )
-        new_o = point + new_d * EPS
-        inside = jnp.where(take_refract, ~s["inside"], jnp.zeros_like(s["inside"]))
+    interpret = jax.default_backend() != "tpu"
+    wf = wavefront_pt.trace(
+        scene, s["o"], s["d"], s["seed"], 1, depth_limit + 1,
+        interpret=interpret, alive=s["alive"], inside=s["inside"],
+    )
+    past = jnp.asarray(depth >= depth_limit)
+    keep = jnp.logical_not(past)
+    lit = wf["lit"] & keep
+    alive = wf["alive"] & keep
+    radiance = s["radiance"] + jnp.where(
+        lit[..., None], s["throughput"] * scene.light_color, 0.0
+    )
+    # deferred texel factor for this depth (cond: most bounce batches hit
+    # nothing textured, skipping the HBM gather)
+    idx = wf["tex_idx"][:, 0]
+    packed = scene.atlas.packed
+    scale = jnp.float32(1.0 / 255.0)
 
-        return dict(
-            o=jnp.where(surf[..., None], new_o, s["o"]),
-            d=jnp.where(surf[..., None], new_d, s["d"]),
-            seed=seed,
-            throughput=throughput,
-            radiance=radiance,
-            inside=inside,
-            alive=surf,
-            missed=missed,
-            traversed=s["traversed"] + res["traversed"],
-            tested=s["tested"] + res["tested"],
-            pixel=s["pixel"],
-            locus=jnp.where(surf, res["tri_idx"], s["locus"]),
-        )
+    def _tap(i):
+        p = packed[jnp.maximum(i, 0)]
+        rgb = jnp.stack(
+            [
+                ((p >> 16) & 0xFF).astype(jnp.float32),
+                ((p >> 8) & 0xFF).astype(jnp.float32),
+                (p & 0xFF).astype(jnp.float32),
+            ],
+            axis=-1,
+        ) * scale
+        return jnp.where((i >= 0)[..., None], rgb, 1.0)
 
-    rays_traced = jnp.int32(r)
-    state = bounce(0, state, tap_chunks=compaction_chunks)
+    texf = jax.lax.cond(
+        jnp.any(idx >= 0), _tap, lambda i: jnp.ones(idx.shape + (3,), jnp.float32), idx
+    )
+    return dict(
+        o=wf["o"],
+        d=wf["d"],
+        seed=wf["seed"],
+        throughput=s["throughput"] * wf["tp"] * texf,
+        radiance=radiance,
+        inside=wf["inside"],
+        alive=alive,
+        missed=s["missed"] | wf["missed"],
+        traversed=s["traversed"] + wf["traversed"],
+        tested=s["tested"] + wf["tested"],
+        pixel=s["pixel"],
+        locus=jnp.where(wf["locus"] >= 0, wf["locus"], s["locus"]),
+    )
 
-    # Bounces 1..depth_limit as a scan over depth, each a scan over chunks:
-    # `bounce` is traced exactly twice (full-width + chunk-width), keeping
-    # the program (and its Mosaic kernel count) small — a python-unrolled
-    # version compiled 20+ identical pallas kernels and took minutes.
-    chunk = r // compaction_chunks
 
-    def sort_state(st):
-        perm = _compaction_perm(scene, st["o"], st["d"], st["alive"], st["locus"])
-        return _permute_state(st, perm)
+def _sort_state(scene, st, diff=False):
+    perm = _compaction_perm(
+        scene,
+        jax.lax.stop_gradient(st["o"]),
+        jax.lax.stop_gradient(st["d"]),
+        st["alive"],
+        st["locus"],
+        allow_scatter=not diff,
+    )
+    if diff:
+        return _permute_state_diff(st, perm)
+    return _permute_state(st, perm)
 
+
+def _make_depth_body(scene, bounce, chunk, diff=False):
     def depth_body(carry, depth):
         """One bounce depth at the carried state's (static) width: global
         compaction resort, then chunked bounce with dead-chunk skipping."""
@@ -398,7 +707,7 @@ def sample_radiance(
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))
         rays_traced = rays_traced + n_alive
         if n_chunks > 1:
-            state = sort_state(state)
+            state = _sort_state(scene, state, diff)
         chunked = {
             k: state[k].reshape(n_chunks, w // n_chunks, *state[k].shape[1:])
             for k in _RAY_KEYS
@@ -425,53 +734,153 @@ def sample_radiance(
         }
         return (state, rays_traced), None
 
+    return depth_body
+
+
+def _cascade(scene, state, rays_traced, deep, chunk, depth_body, r, diff=False):
+    """Liveness cascade over the `deep` depth indices.
+
+    Deeper bounces usually have FEW survivors — measured on the bench
+    scene: 60.8% live at depth 1, 4.5% at depth 2, <=2.2% past that — yet
+    a full-width depth iteration costs ~90ms at 1M rays (resort ~22ms +
+    per-chunk fixed costs) regardless of liveness.  So a cascade picks the
+    narrowest static buffer from {1, 4} chunks (lax.cond nest) that holds
+    every live ray, and all remaining depths run inside it; the full-width
+    scan stays as the fallback for mirror-box-style scenes where most
+    paths survive.  The chunk width is identical in every tier, so the
+    Pallas kernels and the traced bounce body are shared across tiers."""
+
+    def deep_full(carry):
+        (st, rt), _ = jax.lax.scan(depth_body, carry, deep)
+        return st, rt
+
+    def make_tier(width):
+        def tier(carry):
+            st, rt = carry
+            st = _sort_state(scene, st, diff)  # compact live rays into the prefix
+            head = {k: st[k][:width] for k in _RAY_KEYS}
+            tail = {k: st[k][width:] for k in _RAY_KEYS}
+            (head, rt), _ = jax.lax.scan(depth_body, (head, rt), deep)
+            st = {
+                k: jnp.concatenate([head[k], tail[k]], axis=0)
+                for k in _RAY_KEYS
+            }
+            return st, rt
+
+        return tier
+
+    n_live = jnp.sum(state["alive"].astype(jnp.int32))
+    tiers = [w for w in (chunk, 4 * chunk) if w < r]
+    run = deep_full
+    for w in reversed(tiers):  # build the cond nest widest-first
+        run = (
+            lambda carry, w=w, fallback=run: jax.lax.cond(
+                n_live <= w, make_tier(w), fallback, carry
+            )
+        )
+    return run((state, rays_traced))
+
+
+def sample_radiance(
+    scene: DeviceScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    seeds: jnp.ndarray,
+    depth_limit: int = constants.DEPTH_LIMIT,
+    differentiable: bool = False,
+    compaction_chunks: int | None = None,
+):
+    """Estimate radiance along rays (o, d) [R, 3] with per-ray uint32 seeds.
+
+    Returns (radiance [R, 3] in the INPUT ray order, stats dict).  The
+    per-ray stats (traversed/tested) are in internal compaction order —
+    use them only through permutation-invariant reductions.
+    `compaction_chunks`: chunks per bounce >= 1 (default from
+    CRT_COMPACTION_CHUNKS, see _default_chunks(); 1 disables skipping).
+
+    differentiable=True keeps full compaction (r3): each bounce is
+    rematerialized (jax.checkpoint) so the per-chunk scan saves only its
+    chunk INPUTS instead of the shading intermediates whose [.., 1]
+    trailing dims padded 128x and OOM'd in r2, and the compaction permutes
+    go through a custom-vjp gather whose backward is the INVERSE gather
+    (never a random-index scatter — the TPU scatter cliff)."""
+    r = o.shape[0]
+    if compaction_chunks is None:
+        # grad mode prefers coarser chunks: the backward replays every live
+        # chunk, so per-chunk fixed costs weigh double (v5e fwd+bwd sweep:
+        # 16 -> 4.41, 48 -> 4.26, 8 -> 4.14 Mrays/s)
+        c = (
+            int(_os.environ.get("CRT_COMPACTION_CHUNKS_DIFF", "16"))
+            if differentiable
+            else _default_chunks()
+        )
+        compaction_chunks = c if r % c == 0 and r >= 4096 else 1
+
+    if _use_wavefront(scene, differentiable):
+        return _sample_radiance_wavefront(
+            scene, o, d, seeds, depth_limit, compaction_chunks
+        )
+
+    state = dict(
+        o=o,
+        d=d,
+        seed=seeds,
+        throughput=jnp.ones((r, 3), jnp.float32),
+        radiance=jnp.zeros((r, 3), jnp.float32),
+        inside=jnp.zeros((r,), jnp.bool_),
+        alive=jnp.ones((r,), jnp.bool_),
+        # deferred sky (see module docstring): a ray misses AT MOST once and
+        # nothing mutates its d/throughput afterwards, so the miss record is
+        # ONE BIT — sky is applied post-loop as missed * throughput * sky(d)
+        missed=jnp.zeros((r,), jnp.bool_),
+        traversed=jnp.zeros((r,), jnp.int32),
+        tested=jnp.zeros((r,), jnp.int32),
+        pixel=jnp.arange(r, dtype=jnp.int32),
+        # previous-hit triangle id: the finest origin-coherence signal for
+        # the CRT_RESORT=locus compaction key (-1 until the first hit)
+        locus=jnp.full((r,), -1, jnp.int32),
+    )
+
+    nearest = query.find_nearest_diff if differentiable else query.find_nearest
+    use_tcap, t_cap = _tcap_setup(scene, differentiable)
+    bounce = functools.partial(
+        _bounce_step, scene, nearest, depth_limit, use_tcap, t_cap
+    )
+    if differentiable:
+        # rematerialize every bounce: backward recomputes traversal +
+        # shading from the bounce's input state instead of saving the
+        # shading intermediates (the r2 OOM) — the classic remat trade
+        raw_bounce = bounce
+
+        def bounce(depth, s, capped=False, tap_chunks=1):
+            fn = lambda d_, s_: raw_bounce(
+                d_, s_, capped=capped, tap_chunks=tap_chunks
+            )
+            return jax.checkpoint(fn)(depth, s)
+
+    rays_traced = jnp.int32(r)
+    state = bounce(0, state, tap_chunks=compaction_chunks)
+
+
+    # Bounces 1..depth_limit as a scan over depth, each a scan over chunks:
+    # `bounce` is traced exactly twice (full-width + chunk-width), keeping
+    # the program (and its Mosaic kernel count) small — a python-unrolled
+    # version compiled 20+ identical pallas kernels and took minutes.
+    chunk = r // compaction_chunks
+    depth_body = _make_depth_body(scene, bounce, chunk, diff=differentiable)
+
     # Depth 1 runs at full width (typically >50% of paths survive the
-    # primary hit).  Deeper bounces usually have FEW survivors — measured on
-    # the bench scene: 60.8% live at depth 1, 4.5% at depth 2, <=2.2% past
-    # that — yet a full-width depth iteration costs ~90ms at 1M rays
-    # (resort ~22ms + per-chunk fixed costs) regardless of liveness.  So
-    # after depth 1 a liveness CASCADE picks the narrowest static buffer
-    # from {1, 4} chunks (lax.cond nest) that holds every live ray, and all
-    # remaining depths run inside it; the full-width scan stays as the
-    # fallback for mirror-box-style scenes where most paths survive.  The
-    # chunk width is identical in every tier, so the Pallas kernels and the
-    # traced bounce body are shared across tiers.
+    # primary hit); depths >= 2 go through the liveness cascade (see
+    # _cascade).
     if depth_limit >= 1:
         (state, rays_traced), _ = jax.lax.scan(
             depth_body, (state, rays_traced), jnp.arange(1, 2)
         )
     if depth_limit >= 2:
-        deep = jnp.arange(2, depth_limit + 1)
-
-        def deep_full(carry):
-            (st, rt), _ = jax.lax.scan(depth_body, carry, deep)
-            return st, rt
-
-        def make_tier(width):
-            def tier(carry):
-                st, rt = carry
-                st = sort_state(st)  # compact live rays into the prefix
-                head = {k: st[k][:width] for k in _RAY_KEYS}
-                tail = {k: st[k][width:] for k in _RAY_KEYS}
-                (head, rt), _ = jax.lax.scan(depth_body, (head, rt), deep)
-                st = {
-                    k: jnp.concatenate([head[k], tail[k]], axis=0)
-                    for k in _RAY_KEYS
-                }
-                return st, rt
-
-            return tier
-
-        n_live = jnp.sum(state["alive"].astype(jnp.int32))
-        tiers = [w for w in (chunk, 4 * chunk) if w < r]
-        run = deep_full
-        for w in reversed(tiers):  # build the cond nest widest-first
-            run = (
-                lambda carry, w=w, fallback=run: jax.lax.cond(
-                    n_live <= w, make_tier(w), fallback, carry
-                )
-            )
-        state, rays_traced = run((state, rays_traced))
+        state, rays_traced = _cascade(
+            scene, state, rays_traced, jnp.arange(2, depth_limit + 1),
+            chunk, depth_body, r, diff=differentiable,
+        )
 
     # missed rays' d and throughput are frozen at miss time (dead lanes are
     # never mutated), so the deferred sky needs no separate miss_d/miss_tp.
@@ -517,12 +926,9 @@ def sample_radiance(
     if depth_limit == 0 or compaction_chunks == 1:
         out = radiance
     else:
-        inv = (
-            jnp.zeros((r,), jnp.int32)
-            .at[state["pixel"]]
-            .set(jnp.arange(r, dtype=jnp.int32), unique_indices=True)
-        )
-        out = radiance[inv]
+        # custom-vjp gather: backward re-applies the forward permutation
+        # (`pixel`) instead of transposing into a random scatter
+        out = _apply_perm(radiance, _inverse_perm(state["pixel"]), state["pixel"])
     return out, dict(
         rays_traced=rays_traced,
         traversed=state["traversed"],
@@ -577,7 +983,7 @@ def render_pass(
     )
     # keep the dead-chunk-skip granularity (chunk SIZE) equal to the 1-spp
     # configuration by scaling the chunk count with s
-    c = int(_os.environ.get("CRT_COMPACTION_CHUNKS", "48")) * s
+    c = _default_chunks() * s
     r = n * s
     chunks = c if r % c == 0 and r >= 4096 else 1
     radiance, stats = sample_radiance(

@@ -151,3 +151,47 @@ class TestOptimization:
         np.testing.assert_allclose(
             np.asarray(params["albedo"][2]), np.asarray(true_albedo[2]), atol=0.08
         )
+
+
+class TestDiffCompaction:
+    """r3: compaction is enabled under grad (remat'd bounces + custom-vjp
+    permutes, see sample_radiance docstring).  The permutation machinery
+    must be gradient-transparent: chunked+sorted grads == unchunked grads."""
+
+    @pytest.fixture(scope="class")
+    def setup4k(self):
+        scene, _ = compile_scene(CUBE_XML, layout="tlas", bilinear=True)
+        cam = cam_mod.make_camera(64, 64)  # 4096 rays: chunkable width
+        return scene, cam
+
+    def _grads(self, scene, cam, chunks):
+        params = grad_mod.extract_params(scene, keys=("albedo", "light_color"))
+        target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+        n = cam.width * cam.height
+        from cpu_ray_tracer_tpu.core import rng as rng_mod
+
+        seeds = rng_mod.pixel_seeds(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(3))
+
+        def loss_fn(p):
+            s = grad_mod.apply_params(scene, p)
+            rays = cam_mod.full_frame_rays(cam)
+            rad, _ = pathtracer.sample_radiance(
+                s, rays.o, rays.d, seeds, depth_limit=3,
+                differentiable=True, compaction_chunks=chunks,
+            )
+            img = rad.reshape(cam.height, cam.width, 3)
+            return grad_mod.l2_image_loss(img, target)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    def test_chunked_grads_match_unchunked(self, setup4k):
+        scene, cam = setup4k
+        l1, g1 = self._grads(scene, cam, 1)
+        l4, g4 = self._grads(scene, cam, 4)
+        # the estimator is permutation-invariant: identical loss
+        np.testing.assert_allclose(float(l1), float(l4), rtol=1e-5)
+        for k in g1:
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g4[k]), rtol=1e-4, atol=1e-7,
+                err_msg=k,
+            )
