@@ -37,8 +37,7 @@ def main():
     cam = cam_mod.make_camera(W, H)
 
     def frame():
-        img, _ = whitted.render_adaptive(scene, cam)
-        return img
+        return whitted.render_adaptive(scene, cam)["image"]
 
     # compile + adaptive cap growth
     out = frame()

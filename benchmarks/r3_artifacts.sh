@@ -7,16 +7,12 @@ cd "$(dirname "$0")/.."
 mkdir -p benchmarks/results
 
 # 1. interchange: grid/KD packet vs XLA paths at 640x400 (writes its own json)
-timeout 1800 python benchmarks/interchange.py > benchmarks/results/interchange_log.txt 2>&1
+timeout 2400 python benchmarks/interchange.py > benchmarks/results/interchange_log.txt 2>&1
 
-# 2. the five BASELINE.json staged configs, steady-state methodology
-timeout 2400 python benchmarks/run_configs.py 2>benchmarks/results/r3_configs_err.txt \
-  | grep '^{' > benchmarks/results/r3_configs.jsonl
-
-# 3. Whitted frame-time artifact at 1024x640
+# 2. Whitted frame-time artifact at 1024x640
 timeout 1200 python benchmarks/bench_whitted.py r3 > /dev/null 2>&1
 
-# 4. megapass (samples-per-pass) sweep for the headline bench
+# 3. megapass (samples-per-pass) sweep for the headline bench
 : > benchmarks/results/r3_spb_sweep.jsonl
 for spb in 1 2 4 8; do
   BENCH_SPB=$spb timeout 900 python bench.py 2>/dev/null \

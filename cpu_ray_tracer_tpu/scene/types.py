@@ -40,6 +40,17 @@ class SharedInstances:
     agglomerative TLAS tree (tlas_bvh.cpp:17-70): at instance counts where
     a tree helps, the masked-pass loop is already bound by kernel launches,
     not by AABB tests, and the early-out culls the same work.
+
+    Known, bounded semantic difference vs the baked forest (diagnosed r3,
+    tests/test_instancing.py::test_bench_scale_multi_mesh verifies the
+    mechanism per disagreeing ray): Möller–Trumbore runs in UNSCALED object
+    space here, where a grazing sliver's determinant is ~s^3 larger than in
+    world space, so a world-|det| just under TRI_EPS (1e-4, the reference's
+    cutoff, infra/bvh.cpp:203-222) can be legitimately ACCEPTED.  The
+    reference's BLASBVH bakes the scale matrix into its object-space verts
+    (blas_bvh.cpp:61-76) and keeps world-frame conditioning; measured
+    disagreement is ~1e-3 of rays on an adversarial multi-scale scene, and
+    every such hit is real geometry.
     """
 
     inst_minv: jnp.ndarray  # [I, 4, 4] world -> object (full TRS inverse)
