@@ -89,7 +89,20 @@ def _finish(tree):
 
 
 def tree_from_grid(ghost: dict, leaf_target: int = 24, max_nodes: int | None = 8192):
-    """Adaptive leaf_target, as for tree_from_kd."""
+    """Adaptive leaf_target, as for tree_from_kd.
+
+    Budget rationale (VERDICT r2 ask #7): `max_nodes` exists because the
+    packet kernel replicates the node table once per ray-direction octant
+    and prefers it in SMEM (96 B/node against the ~480 KB budget,
+    ops/pallas/packet_bvh.py), so a dense 128-resolution grid's cell count
+    must be capped; scene/build.py divides the 8192 default across forest
+    members (max(8192//n_inst, 512)).  Truncation semantics: the budget is
+    met by DOUBLING leaf_target and rebuilding — cell groups merge into
+    coarser leaves whose bounds are the member-cell union and whose tri
+    lists are the deduped member union, so hits are IDENTICAL to the
+    unbounded tree (only more tris are tested per visited leaf); no cell or
+    triangle is ever dropped.  Pinned by
+    tests/test_grid_kd.py::TestCellTreeBudget."""
     t = leaf_target
     while True:
         tree = _tree_from_grid(ghost, t)
