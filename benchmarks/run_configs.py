@@ -210,7 +210,9 @@ def config5(small):
     target, _ = pathtracer.render_pass_jit(scene, cam, jnp.uint32(999), depth_limit=2)
     params = grad_mod.extract_params(scene, keys=("albedo", "light_color"))
     params = {k: v * 0.5 for k, v in params.items()}  # perturb
-    opt = optax.adam(0.05)
+    # lr 0.02: 0.05 Adam overshot on the full 20-step run (the per-step MC
+    # seed makes the objective noisy; r3 TPU run rose 1.59 -> 1.62)
+    opt = optax.adam(0.02)
     opt_state = opt.init(params)
     step = make_sharded_train_step(scene, cam, target, opt, mesh, depth_limit=2)(params)
     t0 = time.perf_counter()
@@ -219,9 +221,15 @@ def config5(small):
         params, opt_state, loss = step(params, opt_state, jnp.uint32(i))
         losses.append(float(loss))
     dt = time.perf_counter() - t0
+    # noise-robust convergence: mean of the first vs last k losses (each
+    # step uses a fresh MC seed, so single endpoints are noisy draws)
+    k = max(1, len(losses) // 4)
+    head = sum(losses[:k]) / k
+    tail = sum(losses[-k:]) / k
     _emit(5, scene=info.name, devices=n_dev, steps=len(losses), seconds=dt,
           loss_first=losses[0], loss_last=losses[-1],
-          converging=losses[-1] < losses[0])
+          loss_head_mean=head, loss_tail_mean=tail,
+          converging=tail < head)
 
 
 def main():

@@ -160,7 +160,10 @@ class TestDiffCompaction:
 
     @pytest.fixture(scope="class")
     def setup4k(self):
-        scene, _ = compile_scene(CUBE_XML, layout="tlas", bilinear=True)
+        # nearest-tap (parity) mode: bilinear diff is force-unchunked (see
+        # sample_radiance), so only this mode exercises the chunked+sorted
+        # grad path this class is about
+        scene, _ = compile_scene(CUBE_XML, layout="tlas", bilinear=False)
         cam = cam_mod.make_camera(64, 64)  # 4096 rays: chunkable width
         return scene, cam
 
