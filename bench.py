@@ -18,6 +18,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# SBVH spatial-split build (CRT_SBVH=1): measured -1.3% on THIS scene
+# (tessellated meshes duplicate refs for little box tightening: 12.86 vs
+# 13.03 Mrays/s at 64 spp) but +4% on the thin-geometry Whitted scene,
+# where benchmarks/bench_whitted.py defaults it ON.  Off here.
+
 BASELINE_RAYS_PER_S = 100e6  # BASELINE.json north-star target
 WIDTH, HEIGHT = 1280, 720
 SPP = 64

@@ -17,6 +17,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# SBVH spatial splits: 89.2 -> 85.4 ms on inside_scene (thin log_fence /
+# tower geometry is what chopped references help); the PT headline scene
+# prefers it off — see bench.py.
+os.environ.setdefault("CRT_SBVH", "1")
+
 XML = "/root/reference/assets/scenes/inside_scene.xml"
 W, H = 1024, 640
 

@@ -24,6 +24,7 @@ Additions over the reference, both TPU-motivated:
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -85,6 +86,18 @@ def build_bvh(
     """
     from cpu_ray_tracer_tpu.accel import native
 
+    if sah and os.environ.get("CRT_SBVH", "0") == "1":
+        # SBVH spatial splits (crt_build_sbvh): straddling triangle
+        # references duplicate into both children with clipped boxes,
+        # shrinking sibling overlap; leaf lists may repeat a triangle id
+        # (the running-min intersection test is idempotent).  Falls through
+        # to the plain SAH build when the native library is absent or the
+        # reference cap trips.
+        nat = native.build_sbvh_native(
+            tri_v, bins=bins, leaf_target=leaf_target or 8
+        )
+        if nat is not None:
+            return nat
     nat = native.build_bvh_native(
         tri_v, sah=sah, bins=bins, force_split_cap=force_split_cap, leaf_target=leaf_target
     )

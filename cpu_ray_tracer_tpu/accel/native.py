@@ -57,6 +57,12 @@ def get_lib():
         ctypes.c_int, _f32p, _f32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
         np.ctypeslib.ndpointer(np.int32, shape=(1,)),
     ]
+    lib.crt_build_sbvh.restype = ctypes.c_int
+    lib.crt_build_sbvh.argtypes = [
+        _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, _f32p, _f32p, _i32p, _i32p, _i32p, _i32p,
+        _i32p, _i32p, np.ctypeslib.ndpointer(np.int32, shape=(2,)),
+    ]
     lib.crt_thread_links.restype = None
     lib.crt_thread_links.argtypes = [
         _i32p, _i32p, _i32p, _i32p, ctypes.c_int, _i32p, ctypes.c_int, _i32p, _i32p,
@@ -130,6 +136,74 @@ def build_bvh_native(
         max_leaf=int(h.tri_count.max()) if used else 0,
     )
     return h, idx[:n], stats
+
+
+def build_sbvh_native(
+    tri_v: np.ndarray,
+    bins: int = 8,
+    leaf_target: int = 8,
+    alpha: float = 1e-5,
+    ref_factor: float = 2.0,
+):
+    """SBVH (spatial-split) build — crt_build_sbvh in native/crt_native.cpp.
+
+    Returns the same (host, tri_indices, BuildStats) triple as
+    build_bvh_native, where tri_indices is the concatenated leaf REFERENCE
+    list (length >= N: straddling triangles are duplicated with clipped
+    boxes).  None when the library is unavailable or the reference/node
+    caps are exceeded (caller falls back to the plain SAH build)."""
+    import time
+
+    from cpu_ray_tracer_tpu.accel.types import BuildStats
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    t0 = time.perf_counter()
+    n = tri_v.shape[0]
+    ref_cap = max(int(n * ref_factor) + 64, 128)
+    node_cap = max(4 * ref_cap, 64)
+    tv = np.ascontiguousarray(tri_v.reshape(n, 9), np.float32)
+    node_min = np.zeros((node_cap, 3), np.float32)
+    node_max = np.zeros((node_cap, 3), np.float32)
+    left_first = np.zeros(node_cap, np.int32)
+    tri_count = np.zeros(node_cap, np.int32)
+    left = np.zeros(node_cap, np.int32)
+    right = np.zeros(node_cap, np.int32)
+    axis = np.zeros(node_cap, np.int32)
+    idx = np.zeros(ref_cap, np.int32)
+    meta = np.zeros(2, np.int32)
+    used = lib.crt_build_sbvh(
+        tv, n, bins, leaf_target, ctypes.c_float(alpha), node_cap, ref_cap,
+        node_min, node_max, left_first, tri_count, left, right, axis, idx,
+        meta,
+    )
+    if used < 0:
+        return None
+
+    class _H:
+        pass
+
+    h = _H()
+    h.nodes_used = used
+    h.node_min = node_min[:used]
+    h.node_max = node_max[:used]
+    h.left_first = left_first[:used]
+    h.tri_count = tri_count[:used]
+    h.left = left[:used]
+    h.right = right[:used]
+    h.axis = axis[:used]
+    h.max_depth = int(meta[0])
+    n_refs = int(meta[1])
+    leaves = h.tri_count > 0
+    stats = BuildStats(
+        build_time_us=int((time.perf_counter() - t0) * 1e6),
+        max_depth=h.max_depth,
+        num_nodes=used,
+        num_leaves=int(leaves.sum()),
+        max_leaf=int(h.tri_count.max()) if used else 0,
+    )
+    return h, idx[:n_refs], stats
 
 
 def thread_links_native(left, right, tri_count, axis, roots=None):
