@@ -4,6 +4,15 @@ differentiable path-trace loss on the bunny+teapot TLAS scene, gradients
 w.r.t. the full parameter set (material table, texels, light color, triangle
 vertices — diff/grad.py PARAM_KEYS).
 
+Texel-gradient caveat (recorded in the output's `detail.texel_grads`): this
+bench renders in the reference-parity NEAREST-tap mode, whose texel fetch
+goes through the PACKED u32 atlas — an integer path that carries no
+tangents, so the `texels` leaf receives zero gradient here.  Texture
+learning uses bilinear mode (scene compile `bilinear=True`), where texel
+gradients flow and are FD-validated (tests/test_diff.py
+test_texel_gradients_flow); bilinear diff renders unchunked (see
+render/pathtracer.sample_radiance) and benches ~proportionally slower.
+
 Prints ONE JSON line like bench.py.  Rays counted = path segments of the
 forward pass (the backward pass re-traverses the same segments via
 rematerialization; the metric is forward-equivalent rays through fwd+bwd
@@ -95,6 +104,7 @@ def main():
             "total_rays": total_rays,
             "triangles": info.triangle_count,
             "param_leaves": len(jax.tree.leaves(params)),
+            "texel_grads": "zero in this parity-tap mode; see module docstring",
             "device": str(jax.devices()[0]),
         },
     }
