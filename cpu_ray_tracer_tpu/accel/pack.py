@@ -64,6 +64,10 @@ class PackedBVH:
     node_aabb: jnp.ndarray = None  # f32 [6, M]: bmin xyz, bmax xyz
     node_meta2: jnp.ndarray = None  # i32 [2, M]: leaf first tri ROW, nrows (0 = interior)
     node_links: jnp.ndarray = None  # i32 [8, 2, M]: per-octant hit/miss links
+    # i32 [8, 2, M]: per-octant (near child, far child) for the SMEM-stack
+    # ordered two-child descent kernel (CRT_STACK=1); -1 on leaves.  Only
+    # attached for single-root trees (scene/build.py bvh path).
+    node_nearfar: jnp.ndarray = None
     root: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)
     # world bounds (host floats) for spatial ray-sort quantization
@@ -170,6 +174,25 @@ def pack_bvh(
         world_min=tuple(float(x) for x in host_bvh.node_min[0]),
         world_max=tuple(float(x) for x in host_bvh.node_max[0]),
     )
+
+
+def nearfar_from_children(left: np.ndarray, right: np.ndarray, axis: np.ndarray):
+    """Per-octant (near, far) child table for the stack-descent kernel.
+
+    Near child on a split axis `a` is the LEFT (lower-coordinate) child when
+    the ray direction's component a is non-negative — the reference's
+    ordered traversal decision (infra/bvh.cpp:224-258) made octant-static.
+    Returns np.int32 [8, 2, M]; leaves carry -1."""
+    m = left.shape[0]
+    out = np.full((8, 2, m), -1, np.int32)
+    interior = left >= 0
+    for o in range(8):
+        neg = ((o >> axis) & 1) > 0  # [M] direction negative on split axis
+        near = np.where(neg, right, left)
+        far = np.where(neg, left, right)
+        out[o, 0] = np.where(interior, near, -1)
+        out[o, 1] = np.where(interior, far, -1)
+    return out
 
 
 class HostBVHView:

@@ -233,7 +233,7 @@ def compile_scene(
         host_pack = dict(
             node_min=host.node_min, node_max=host.node_max,
             left_first=host.left_first, tri_count=host.tri_count,
-            left=host.left, right=host.right,
+            left=host.left, right=host.right, axis=host.axis,
             tri_indices=idx, hit=hit, miss=miss, root=0,
         )
         bvh = BVHArrays(
@@ -371,6 +371,15 @@ def compile_scene(
             obj_id=np.concatenate(inst_obj, axis=0),
             mat_id=mat_arr,
             shade16=shade16,
+        )
+        # per-octant (near, far) child table for the SMEM-stack ordered
+        # two-child descent kernel (CRT_STACK=1, ops/pallas/packet_bvh.py)
+        packed = packed.replace(
+            node_nearfar=jnp.asarray(
+                pack_mod.nearfar_from_children(
+                    host_pack["left"], host_pack["right"], host_pack["axis"]
+                )
+            )
         )
         # Wide kernel is opt-in: on v5e it measured 12.6 Mrays/s primary vs
         # the binary packet kernel's 18.8 (equal on sorted bounce rays) —
@@ -647,7 +656,7 @@ def _build_unified_tlas(inst_v: list[np.ndarray], force_split_cap, leaf_target=N
     hit, miss = bvh_builder.thread_links(left, right, tri_count, axis, roots=[root])
     host_pack = dict(
         node_min=node_min, node_max=node_max, left_first=left_first,
-        tri_count=tri_count, left=left, right=right,
+        tri_count=tri_count, left=left, right=right, axis=axis,
         tri_indices=all_idx, hit=hit, miss=miss, root=root,
     )
 
