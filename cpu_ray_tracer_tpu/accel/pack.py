@@ -70,6 +70,9 @@ class PackedBVH:
     node_nearfar: jnp.ndarray = None
     root: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)
+    # tree depth (root level = 1); gates the SMEM stack-descent kernel
+    # against its fixed per-group stack capacity.  0 = unknown.
+    stack_depth: int = struct.field(pytree_node=False, default=0)
     # world bounds (host floats) for spatial ray-sort quantization
     world_min: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
     world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
@@ -193,6 +196,17 @@ def nearfar_from_children(left: np.ndarray, right: np.ndarray, axis: np.ndarray)
         out[o, 0] = np.where(interior, near, -1)
         out[o, 1] = np.where(interior, far, -1)
     return out
+
+
+def tree_depth(left: np.ndarray, right: np.ndarray, root: int) -> int:
+    """Depth of the tree rooted at `root` (root level = 1), level-order."""
+    depth = 0
+    frontier = np.array([root], np.int64)
+    while frontier.size:
+        depth += 1
+        kids = np.concatenate([left[frontier], right[frontier]])
+        frontier = kids[kids >= 0]
+    return depth
 
 
 class HostBVHView:

@@ -81,6 +81,17 @@ PREFETCH = _os.environ.get("CRT_PREFETCH", "1") != "0"
 # in-kernel shading-attribute interpolation (normal/uv/mat ride the while
 # carry) — net-negative on v5e (register pressure), kept for experiments
 KERNEL_SHADE = _os.environ.get("CRT_KERNEL_SHADE", "0") == "1"
+# SMEM-stack ordered two-child descent (CRT_STACK=1): each step processes
+# one INTERIOR node — slab-tests both its (near, far) children and decides
+# both with ONE packed vector->scalar reduce (near count in bits 0:16, far
+# in 16:32); leaf children run their Möller–Trumbore rows inline, interior
+# hits descend near-first with far pushed to a per-group SMEM stack.  The
+# link walk pays one reduce per VISITED node (interior + leaf); the stack
+# walk pays one per interior-with-a-hit — the serial reduce chain is the
+# kernel's measured wall (docs/ROOFLINE.md), so this halves the bound
+# resource at the cost of 2 slab tests (cheap VPU math) per step.
+STACK = _os.environ.get("CRT_STACK", "0") == "1"
+STACK_CAP = 128  # ints per cursor group; pack-time depth is asserted below
 SMEM_BUDGET = int(_os.environ.get("CRT_SMEM_BUDGET", str(480 * 1024)))  # bytes
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
@@ -402,6 +413,220 @@ def _kernel(
             mat_ref[0, s, :] = mat
 
 
+def _kernel_stack(
+    oct_ref,  # SMEM [G, T] i32 per-cursor-group octant (group-major)
+    ox_ref, oy_ref, oz_ref,  # VMEM [8,128] blocks per tile
+    dx_ref, dy_ref, dz_ref,
+    t0_ref, mask_ref,
+    aabb_ref, meta_ref, nf_ref,  # SMEM node tables (nf = per-octant near/far)
+    tris_ref,
+    t_ref, u_ref, v_ref, slot_ref, trav_ref, test_ref,
+    stack_ref,  # SMEM scratch [G, STACK_CAP] deferred far-child stack
+    *,
+    root: int,
+    any_hit: bool,
+    max_steps: int,
+):
+    """Ordered two-child descent with a per-group SMEM stack (CRT_STACK=1).
+
+    Each step handles one INTERIOR node: both its octant-ordered children
+    are slab-tested against the tile and decided by a single packed reduce
+    (near-hit count in bits 0:16, far in 16:32).  Leaf children run their
+    triangle rows inline; interior hits descend near-first, the far child
+    deferred on the stack — the ordered traversal of the reference
+    (infra/bvh.cpp:224-258) vectorised per packet.  One reduce covers two
+    nodes, vs one per visited node on the threaded-link walk.
+    """
+    pid = pl.program_id(0)
+
+    def group_inputs(g):
+        s = slice(g * GSUB, (g + 1) * GSUB)
+        ox, oy, oz = ox_ref[0][s], oy_ref[0][s], oz_ref[0][s]
+        dx, dy, dz = dx_ref[0][s], dy_ref[0][s], dz_ref[0][s]
+        return (
+            ox, oy, oz, dx, dy, dz,
+            1.0 / dx, 1.0 / dy, 1.0 / dz,
+            mask_ref[0][s] > 0.5,
+            oct_ref[g, pid],
+        )
+
+    gin = [group_inputs(g) for g in range(GROUPS)]
+
+    def cond(c):
+        steps, groups = c
+        go = jnp.int32(0)
+        for g in range(GROUPS):
+            cur, _sp = groups[g][0], groups[g][1]
+            slot = groups[g][5]
+            gg = (cur >= 0).astype(jnp.int32)
+            if any_hit:
+                mask = gin[g][9]
+                gg = gg * (jnp.sum((mask & (slot < 0)).astype(jnp.int32)) > 0).astype(jnp.int32)
+            go = go + gg
+        return (go > 0) & (steps < max_steps)
+
+    def fetch8(node):
+        """aabb + (leaf row, nrows) of one node — no links on this walk."""
+        return (
+            aabb_ref[0, node], aabb_ref[1, node], aabb_ref[2, node],
+            aabb_ref[3, node], aabb_ref[4, node], aabb_ref[5, node],
+            meta_ref[0, node], meta_ref[1, node],
+        )
+
+    def group_step(g, c):
+        ox, oy, oz, dx, dy, dz, rdx, rdy, rdz, mask, o8 = gin[g]
+        cur, sp, t, u, v, slot, trav, test = c
+        # predicated-safe when parked (cur < 0): reads stay in bounds and
+        # state does not advance
+        active = cur >= 0
+        node = jnp.maximum(cur, 0)
+        near = nf_ref[o8, 0, node]
+        far = nf_ref[o8, 1, node]
+        # interior nodes always have both children; parked cursors read
+        # node 0 (root, interior on this path) harmlessly
+        nrec = fetch8(jnp.maximum(near, 0))
+        frec = fetch8(jnp.maximum(far, 0))
+
+        def slab(rec):
+            bminx, bminy, bminz, bmaxx, bmaxy, bmaxz = rec[:6]
+            tx1 = (bminx - ox) * rdx
+            tx2 = (bmaxx - ox) * rdx
+            tmin = jnp.minimum(tx1, tx2)
+            tmax = jnp.maximum(tx1, tx2)
+            ty1 = (bminy - oy) * rdy
+            ty2 = (bmaxy - oy) * rdy
+            tmin = jnp.maximum(tmin, jnp.minimum(ty1, ty2))
+            tmax = jnp.minimum(tmax, jnp.maximum(ty1, ty2))
+            tz1 = (bminz - oz) * rdz
+            tz2 = (bmaxz - oz) * rdz
+            tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
+            tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
+            h = (tmax >= tmin) & (tmin < t) & (tmax > 0.0) & mask & active
+            if any_hit:
+                h = h & (slot < 0)
+            return h
+
+        hitN = slab(nrec)
+        hitF = slab(frec)
+        # ONE vector->scalar reduce decides BOTH children (lane counts fit
+        # 16 bits: tiles are <= 8192 rays)
+        packed = jnp.sum(hitN.astype(jnp.int32) + (hitF.astype(jnp.int32) << 16))
+        anyN = (packed & 0xFFFF) > 0
+        anyF = packed >= (1 << 16)
+        leafN = nrec[7] > 0
+        leafF = frec[7] > 0
+
+        def leaf_tests(lf, nrows, args):
+            def row_body(i, args2):
+                t, u, v, slot, test = args2
+                trow = tris_ref[pl.ds(lf + i, 1), :]  # (1, 128)
+                base_slot = (lf + i) * TRIS_PER_ROW
+                for k in range(TRIS_PER_ROW):
+                    lane0 = k * TRI_F
+                    v0x, v0y, v0z = trow[0, lane0], trow[0, lane0 + 1], trow[0, lane0 + 2]
+                    e1x, e1y, e1z = trow[0, lane0 + 3], trow[0, lane0 + 4], trow[0, lane0 + 5]
+                    e2x, e2y, e2z = trow[0, lane0 + 6], trow[0, lane0 + 7], trow[0, lane0 + 8]
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    f = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    uu = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    vv = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (jnp.abs(a) >= TRI_EPS)
+                        & (uu >= 0.0)
+                        & (uu <= 1.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (tt > TRI_EPS)
+                        & (tt < t)
+                        & mask
+                    )
+                    t = jnp.where(ok, tt, t)
+                    u = jnp.where(ok, uu, u)
+                    v = jnp.where(ok, vv, v)
+                    slot = jnp.where(ok, base_slot + k, slot)
+                test = test + TRIS_PER_ROW
+                return t, u, v, slot, test
+
+            return jax.lax.fori_loop(0, nrows, row_body, args)
+
+        args = (t, u, v, slot, test)
+        args = jax.lax.cond(
+            anyN & leafN & (not NO_LEAF),
+            lambda a: leaf_tests(nrec[6], nrec[7], a), lambda a: a, args,
+        )
+        args = jax.lax.cond(
+            anyF & leafF & (not NO_LEAF),
+            lambda a: leaf_tests(frec[6], frec[7], a), lambda a: a, args,
+        )
+        t, u, v, slot, test = args
+
+        goN = anyN & (~leafN) & active
+        goF = anyF & (~leafF) & active
+        both = goN & goF
+
+        @pl.when(both)
+        def _push():
+            stack_ref[g, sp] = far
+
+        sp2 = sp + both.astype(jnp.int32)
+        pop_val = jnp.where(
+            sp2 > 0, stack_ref[g, jnp.maximum(sp2 - 1, 0)], jnp.int32(-1)
+        )
+        nxt = jnp.where(goN, near, jnp.where(goF, far, pop_val))
+        sp3 = jnp.where(goN | goF, sp2, jnp.maximum(sp2 - 1, 0))
+        cur = jnp.where(active, nxt, cur)
+        sp = jnp.where(active, sp3, sp)
+        trav = trav + jnp.where(active, 1, 0)
+        return cur, sp, t, u, v, slot, trav, test
+
+    def body(c):
+        steps, groups = c
+        groups = tuple(group_step(g, groups[g]) for g in range(GROUPS))
+        return steps + 1, groups
+
+    t0 = t0_ref[0]
+
+    def group_init(g):
+        s = slice(g * GSUB, (g + 1) * GSUB)
+        gshape = (GSUB, 128)
+        mask = gin[g][9]
+        cur0 = jnp.where(
+            jnp.sum(mask.astype(jnp.int32)) > 0, root, -1
+        ).astype(jnp.int32)
+        return (
+            cur0,
+            jnp.int32(0),  # stack pointer
+            t0[s],
+            jnp.zeros(gshape, jnp.float32),
+            jnp.zeros(gshape, jnp.float32),
+            jnp.full(gshape, -1, jnp.int32),
+            jnp.int32(0),  # trav: interior steps (stats; link walk counts visits)
+            jnp.int32(0),  # test: tri-test counter
+        )
+
+    carry = (jnp.int32(0), tuple(group_init(g) for g in range(GROUPS)))
+    steps, groups = jax.lax.while_loop(cond, body, carry)
+    for g in range(GROUPS):
+        s = slice(g * GSUB, (g + 1) * GSUB)
+        _, _, t, u, v, slot, trav, test = groups[g]
+        t_ref[0, s, :] = t
+        u_ref[0, s, :] = u
+        v_ref[0, s, :] = v
+        slot_ref[0, s, :] = slot
+        trav_ref[g, pid] = trav
+        test_ref[g, pid] = test
+
+
 def _tile_arrays(x: jnp.ndarray, n_tiles: int):
     return x.reshape(n_tiles, *TILE_SHAPE)
 
@@ -410,6 +635,7 @@ def _tile_arrays(x: jnp.ndarray, n_tiles: int):
     jax.jit,
     static_argnames=(
         "any_hit", "interpret", "root", "max_steps", "with_shade", "meta_shade",
+        "stack",
     ),
 )
 def _run(
@@ -424,6 +650,7 @@ def _run(
     interpret: bool,
     with_shade: bool,
     meta_shade: bool = False,
+    stack: bool = False,
 ):
     n_tiles = oct_per_tile.shape[1]
     tile_spec = pl.BlockSpec((1, *TILE_SHAPE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -452,6 +679,21 @@ def _run(
         out_specs += [tile_spec] * 6
         extra_in = [shade_rows]
         in_specs.append(full(2))
+    if stack:
+        # node_rows is (aabb, meta2, nearfar); same SMEM specs as the link
+        # tables.  The deferred-far stack is SMEM scratch.
+        kernel = functools.partial(
+            _kernel_stack, root=root, any_hit=any_hit, max_steps=max_steps,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.SMEM((max(GROUPS, 1), STACK_CAP), jnp.int32)],
+            interpret=interpret,
+        )(oct_per_tile, *comps, *node_in, tri_rows, *extra_in)
     kernel = functools.partial(
         _kernel, root=root, any_hit=any_hit, max_steps=max_steps,
         with_shade=with_shade, smem=smem, meta_shade=meta_shade,
@@ -531,9 +773,22 @@ def traverse(
         and pk.node_aabb is not None
         and pk.num_nodes * 96 <= SMEM_BUDGET
     )
-    node_in = (
-        (pk.node_aabb, pk.node_meta2, pk.node_links) if use_smem else pk.node_rows
+    # SMEM-stack ordered descent: needs the near/far table, a known tree
+    # depth within the stack capacity, and a root that is interior
+    use_stack = (
+        STACK
+        and use_smem
+        and pk.node_nearfar is not None
+        and not with_shade
+        and pk.num_nodes >= 3
+        and 0 < pk.stack_depth <= STACK_CAP
     )
+    if use_stack:
+        node_in = (pk.node_aabb, pk.node_meta2, pk.node_nearfar)
+    elif use_smem:
+        node_in = (pk.node_aabb, pk.node_meta2, pk.node_links)
+    else:
+        node_in = pk.node_rows
     outs = _run(
         oct_tile.T,
         tuple(comps),
@@ -544,8 +799,9 @@ def traverse(
         any_hit=any_hit,
         max_steps=max_steps,
         interpret=interpret,
-        with_shade=with_shade,
+        with_shade=with_shade and not use_stack,
         meta_shade=pk.meta_in_shade,
+        stack=use_stack,
     )
     t, u, v, slot, trav, test = outs[:6]
 

@@ -379,7 +379,10 @@ def compile_scene(
                 pack_mod.nearfar_from_children(
                     host_pack["left"], host_pack["right"], host_pack["axis"]
                 )
-            )
+            ),
+            stack_depth=pack_mod.tree_depth(
+                host_pack["left"], host_pack["right"], host_pack["root"]
+            ),
         )
         # Wide kernel is opt-in: on v5e it measured 12.6 Mrays/s primary vs
         # the binary packet kernel's 18.8 (equal on sorted bounce rays) —

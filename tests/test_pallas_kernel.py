@@ -324,3 +324,66 @@ class TestSublaneKernelInterpret:
         b = sublane_bvh.traverse_sorted(ps, pool, o, d, t0, interpret=True)
         np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(a["tri_idx"]), np.asarray(b["tri_idx"]))
+
+
+def stack_scene(rng, n):
+    """Random-soup PackedBVH equipped with the stack-descent tables
+    (node_nearfar + stack_depth), the way scene/build.py attaches them."""
+    base = rng.uniform(-4, 4, size=(n, 1, 3))
+    tri_v = (base + rng.normal(0, 0.4, size=(n, 3, 3))).astype(np.float32)
+    pool = make_triangle_pool(tri_v)
+    host, idx, _ = bvh_builder.build_bvh(tri_v, force_split_cap=8)
+    hit, miss = bvh_builder.thread_links(host.left, host.right, host.tri_count, host.axis)
+    v0 = tri_v[:, 0]
+    pk = pack.pack_host(
+        host.node_min, host.node_max, host.left_first, host.tri_count,
+        idx, v0, tri_v[:, 1] - v0, tri_v[:, 2] - v0, hit, miss, 0,
+    )
+    pk = pk.replace(
+        node_nearfar=jnp.asarray(
+            pack.nearfar_from_children(host.left, host.right, host.axis)
+        ),
+        stack_depth=pack.tree_depth(host.left, host.right, 0),
+    )
+    return tri_v, pool, pk
+
+
+class TestStackKernel:
+    """SMEM-stack ordered two-child descent (CRT_STACK=1) must agree with
+    the threaded-link walk bit-for-bit — same tree, same Möller–Trumbore,
+    only the traversal order differs (infra/bvh.cpp:224-258 semantics)."""
+
+    def _ab(self, monkeypatch, pk, pool, o, d, t0, **kw):
+        monkeypatch.setattr(packet_bvh, "STACK", False)
+        link = packet_bvh.traverse(pk, pool, o, d, t0, interpret=True, **kw)
+        monkeypatch.setattr(packet_bvh, "STACK", True)
+        stack = packet_bvh.traverse(pk, pool, o, d, t0, interpret=True, **kw)
+        return link, stack
+
+    def test_matches_link_kernel(self, rng, monkeypatch):
+        tri_v, pool, pk = stack_scene(rng, 256)
+        assert pk.stack_depth > 0 and pk.num_nodes >= 3
+        o, d = random_rays(rng, 1024)
+        t0 = jnp.full((1024,), 1e34, jnp.float32)
+        link, stack = self._ab(monkeypatch, pk, pool, o, d, t0)
+        np.testing.assert_array_equal(np.asarray(link["t"]), np.asarray(stack["t"]))
+        np.testing.assert_array_equal(
+            np.asarray(link["tri_idx"]), np.asarray(stack["tri_idx"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(link["bary"]), np.asarray(stack["bary"])
+        )
+
+    def test_mask_any_hit_t_max(self, rng, monkeypatch):
+        tri_v, pool, pk = stack_scene(rng, 128)
+        o, d = random_rays(rng, 700)  # not a tile multiple
+        t0 = jnp.full((700,), 2.5, jnp.float32)  # finite shadow-style t_max
+        mask = jnp.ones((700,), jnp.float32).at[::2].set(0.0)
+        link, stack = self._ab(monkeypatch, pk, pool, o, d, t0, mask=mask)
+        tri_l, tri_s = np.asarray(link["tri_idx"]), np.asarray(stack["tri_idx"])
+        assert (tri_s[::2] == -1).all()
+        np.testing.assert_array_equal(tri_l, tri_s)
+        la, sa = self._ab(monkeypatch, pk, pool, o, d, t0, mask=mask, any_hit=True)
+        np.testing.assert_array_equal(
+            np.asarray(la["tri_idx"]) >= 0, np.asarray(sa["tri_idx"]) >= 0
+        )
