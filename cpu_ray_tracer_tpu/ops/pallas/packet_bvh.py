@@ -90,7 +90,9 @@ KERNEL_SHADE = _os.environ.get("CRT_KERNEL_SHADE", "0") == "1"
 # walk pays one per interior-with-a-hit — the serial reduce chain is the
 # kernel's measured wall (docs/ROOFLINE.md), so this halves the bound
 # resource at the cost of 2 slab tests (cheap VPU math) per step.
-STACK = _os.environ.get("CRT_STACK", "0") == "1"
+# Default ON (measured v5e, bunny_teapot 64 spp: 13.03 -> 13.41 Mrays/s;
+# bit-identical estimator energy); CRT_STACK=0 restores the link walk.
+STACK = _os.environ.get("CRT_STACK", "1") == "1"
 STACK_CAP = 128  # ints per cursor group; pack-time depth is asserted below
 SMEM_BUDGET = int(_os.environ.get("CRT_SMEM_BUDGET", str(480 * 1024)))  # bytes
 TRI_EPS = constants.TRI_EPS
