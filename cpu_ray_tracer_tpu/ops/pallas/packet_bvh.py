@@ -592,9 +592,14 @@ def _kernel_stack(
         return cur, sp, t, u, v, slot, trav, test
 
     def body(c):
+        # unrolled like the link walk: group_step is a no-op on a parked
+        # cursor, so running two steps per while iteration only halves the
+        # cond-evaluation bookkeeping
         steps, groups = c
-        groups = tuple(group_step(g, groups[g]) for g in range(GROUPS))
-        return steps + 1, groups
+        for _ in range(1 if (any_hit or GROUPS > 1) else UNROLL):
+            groups = tuple(group_step(g, groups[g]) for g in range(GROUPS))
+            steps = steps + 1
+        return steps, groups
 
     t0 = t0_ref[0]
 
