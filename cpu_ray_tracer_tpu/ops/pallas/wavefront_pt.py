@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cpu_ray_tracer_tpu import constants
+from cpu_ray_tracer_tpu.ops.pallas.packet_bvh import STACK, STACK_CAP
 
 TILE = int(_os.environ.get("CRT_WF_TILE", "4096"))
 TILE_SHAPE = (TILE // 128, 128)
@@ -153,6 +154,7 @@ def _kernel(
     oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
     oseed_ref, oflags_ref, oslot_ref, otex_ref,
     trav_ref, test_ref, live_ref,  # SMEM stats [K?, T]
+    stack_ref,  # SMEM scratch [STACK_CAP]: deferred far children (stack walk)
     *,
     k_depths: int,
     depth_limit: int,
@@ -161,6 +163,7 @@ def _kernel(
     root: int,
     max_steps: int,
     meta_shade: bool,
+    use_stack: bool,
 ):
     from cpu_ray_tracer_tpu.accel.pack import TRI_F, TRIS_PER_ROW
 
@@ -168,6 +171,9 @@ def _kernel(
     shape = TILE_SHAPE
 
     def fetch_rec(node, o8):
+        # links_ref holds the per-octant NEAR/FAR child table instead of
+        # hit/miss links when use_stack (trace() swaps the input); the stack
+        # walk never calls this
         return (
             aabb_ref[0, node], aabb_ref[1, node], aabb_ref[2, node],
             aabb_ref[3, node], aabb_ref[4, node], aabb_ref[5, node],
@@ -175,10 +181,183 @@ def _kernel(
             links_ref[o8, 0, node], links_ref[o8, 1, node],
         )
 
+    def fetch8(node):
+        return (
+            aabb_ref[0, node], aabb_ref[1, node], aabb_ref[2, node],
+            aabb_ref[3, node], aabb_ref[4, node], aabb_ref[5, node],
+            meta2_ref[0, node], meta2_ref[1, node],
+        )
+
+    def make_leaf_tests(ox, oy, oz, dx, dy, dz, mask, lf, nrows):
+        """MT rows [lf, lf+nrows) with shading-attribute interpolation —
+        shared by the link and stack walks (args: t, slot, nx, ny, nz,
+        tu, tv, mat, tests)."""
+
+        def leaf_tests(args):
+            def row_body(i, a2):
+                t, slot, nx, ny, nz, tu, tv, mat, tests = a2
+                trow = tris_ref[pl.ds(lf + i, 1), :]
+                srow = shade_ref[pl.ds(lf + i, 1), :]
+                if meta_shade:
+                    # scalar f32 bitcasts are not lowerable (tpu.bitcast
+                    # wants vectors): bitcast the whole row once, then
+                    # extract the meta scalars
+                    srow_i = jax.lax.bitcast_convert_type(srow, jnp.int32)
+                base_slot = (lf + i) * TRIS_PER_ROW
+                for k in range(TRIS_PER_ROW):
+                    lane0 = k * TRI_F
+                    v0x, v0y, v0z = trow[0, lane0], trow[0, lane0 + 1], trow[0, lane0 + 2]
+                    e1x, e1y, e1z = trow[0, lane0 + 3], trow[0, lane0 + 4], trow[0, lane0 + 5]
+                    e2x, e2y, e2z = trow[0, lane0 + 6], trow[0, lane0 + 7], trow[0, lane0 + 8]
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    f = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    uu = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    vv = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (jnp.abs(a) >= TRI_EPS)
+                        & (uu >= 0.0) & (uu <= 1.0)
+                        & (vv >= 0.0) & (uu + vv <= 1.0)
+                        & (tt > TRI_EPS) & (tt < t)
+                        & mask
+                    )
+                    t = jnp.where(ok, tt, t)
+                    slot = jnp.where(ok, base_slot + k, slot)
+                    ww = 1.0 - uu - vv
+                    n0x, n0y, n0z = srow[0, lane0], srow[0, lane0 + 1], srow[0, lane0 + 2]
+                    n1x, n1y, n1z = srow[0, lane0 + 3], srow[0, lane0 + 4], srow[0, lane0 + 5]
+                    n2x, n2y, n2z = srow[0, lane0 + 6], srow[0, lane0 + 7], srow[0, lane0 + 8]
+                    u0a, v0a = srow[0, lane0 + 9], srow[0, lane0 + 10]
+                    u1a, v1a = srow[0, lane0 + 11], srow[0, lane0 + 12]
+                    u2a, v2a = srow[0, lane0 + 13], srow[0, lane0 + 14]
+                    if meta_shade:
+                        m_id = (srow_i[0, lane0 + 15] >> 26) & 0x3F
+                    else:
+                        m_id = srow[0, lane0 + 15].astype(jnp.int32)
+                    nx = jnp.where(ok, ww * n0x + uu * n1x + vv * n2x, nx)
+                    ny = jnp.where(ok, ww * n0y + uu * n1y + vv * n2y, ny)
+                    nz = jnp.where(ok, ww * n0z + uu * n1z + vv * n2z, nz)
+                    tu = jnp.where(ok, ww * u0a + uu * u1a + vv * u2a, tu)
+                    tv = jnp.where(ok, ww * v0a + uu * v1a + vv * v2a, tv)
+                    mat = jnp.where(ok, m_id, mat)
+                tests = tests + TRIS_PER_ROW
+                return t, slot, nx, ny, nz, tu, tv, mat, tests
+
+            return jax.lax.fori_loop(0, nrows, row_body, args)
+
+        return leaf_tests
+
+    def traverse_stack(ox, oy, oz, dx, dy, dz, t0, alive, o8):
+        """Ordered two-child SMEM-stack walk (packet_bvh._kernel_stack
+        recipe) with shading attributes carried — one packed reduce decides
+        both children of each interior node."""
+        rdx = 1.0 / dx
+        rdy = 1.0 / dy
+        rdz = 1.0 / dz
+        mask = alive > 0
+
+        def cond(c):
+            return (c[0] >= 0) & (c[-2] < max_steps)
+
+        def body(c):
+            cur, sp, t, slot, nx, ny, nz, tu, tv, mat, steps, tests = c
+            active = cur >= 0
+            node = jnp.maximum(cur, 0)
+            near = links_ref[o8, 0, node]  # near/far table rides links_ref
+            far = links_ref[o8, 1, node]
+            nrec = fetch8(jnp.maximum(near, 0))
+            frec = fetch8(jnp.maximum(far, 0))
+
+            def slab(rec):
+                bminx, bminy, bminz, bmaxx, bmaxy, bmaxz = rec[:6]
+                tx1 = (bminx - ox) * rdx
+                tx2 = (bmaxx - ox) * rdx
+                tmin = jnp.minimum(tx1, tx2)
+                tmax = jnp.maximum(tx1, tx2)
+                ty1 = (bminy - oy) * rdy
+                ty2 = (bmaxy - oy) * rdy
+                tmin = jnp.maximum(tmin, jnp.minimum(ty1, ty2))
+                tmax = jnp.minimum(tmax, jnp.maximum(ty1, ty2))
+                tz1 = (bminz - oz) * rdz
+                tz2 = (bmaxz - oz) * rdz
+                tmin = jnp.maximum(tmin, jnp.minimum(tz1, tz2))
+                tmax = jnp.minimum(tmax, jnp.maximum(tz1, tz2))
+                return (tmax >= tmin) & (tmin < t) & (tmax > 0.0) & mask & active
+
+            hitN = slab(nrec)
+            hitF = slab(frec)
+            packed = jnp.sum(hitN.astype(jnp.int32) + (hitF.astype(jnp.int32) << 16))
+            anyN = (packed & 0xFFFF) > 0
+            anyF = packed >= (1 << 16)
+            leafN = nrec[7] > 0
+            leafF = frec[7] > 0
+
+            args = (t, slot, nx, ny, nz, tu, tv, mat, tests)
+            args = jax.lax.cond(
+                anyN & leafN,
+                make_leaf_tests(ox, oy, oz, dx, dy, dz, mask, nrec[6], nrec[7]),
+                lambda a: a, args,
+            )
+            args = jax.lax.cond(
+                anyF & leafF,
+                make_leaf_tests(ox, oy, oz, dx, dy, dz, mask, frec[6], frec[7]),
+                lambda a: a, args,
+            )
+            t, slot, nx, ny, nz, tu, tv, mat, tests = args
+
+            goN = anyN & (~leafN) & active
+            goF = anyF & (~leafF) & active
+            both = goN & goF
+
+            @pl.when(both)
+            def _push():
+                stack_ref[sp] = far
+
+            sp2 = sp + both.astype(jnp.int32)
+            pop_val = jnp.where(
+                sp2 > 0, stack_ref[jnp.maximum(sp2 - 1, 0)], jnp.int32(-1)
+            )
+            nxt = jnp.where(goN, near, jnp.where(goF, far, pop_val))
+            sp3 = jnp.where(goN | goF, sp2, jnp.maximum(sp2 - 1, 0))
+            cur = jnp.where(active, nxt, cur)
+            sp = jnp.where(active, sp3, sp)
+            steps = steps + jnp.where(active, 1, 0)
+            return cur, sp, t, slot, nx, ny, nz, tu, tv, mat, steps, tests
+
+        n_live = jnp.sum(alive)
+        cur0 = jnp.where(n_live > 0, root, -1).astype(jnp.int32)
+        init = (
+            cur0,
+            jnp.int32(0),  # stack pointer
+            t0,
+            jnp.full(shape, -1, jnp.int32),  # slot
+            jnp.zeros(shape, jnp.float32),  # nx
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),  # tu
+            jnp.zeros(shape, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),  # mat
+            jnp.int32(0),
+            jnp.int32(0),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return out[2:]
+
     def traverse(ox, oy, oz, dx, dy, dz, t0, alive, o8):
         """Single-cursor packet walk (packet_bvh.py recipe) with shading
         attributes carried: returns (t, slot, nx, ny, nz, tu, tv, mat,
         steps, tests)."""
+        if use_stack:
+            return traverse_stack(ox, oy, oz, dx, dy, dz, t0, alive, o8)
         rdx = 1.0 / dx
         rdy = 1.0 / dy
         rdz = 1.0 / dz
@@ -217,70 +396,9 @@ def _kernel(
             rec_hit = fetch_rec(jnp.maximum(hit_link, 0), o8)
             rec_miss = fetch_rec(jnp.maximum(miss_link, 0), o8)
 
-            def leaf_tests(args):
-                def row_body(i, a2):
-                    t, slot, nx, ny, nz, tu, tv, mat, tests = a2
-                    trow = tris_ref[pl.ds(lf + i, 1), :]
-                    srow = shade_ref[pl.ds(lf + i, 1), :]
-                    if meta_shade:
-                        # scalar f32 bitcasts are not lowerable (tpu.bitcast
-                        # wants vectors): bitcast the whole row once, then
-                        # extract the meta scalars
-                        srow_i = jax.lax.bitcast_convert_type(srow, jnp.int32)
-                    base_slot = (lf + i) * TRIS_PER_ROW
-                    for k in range(TRIS_PER_ROW):
-                        lane0 = k * TRI_F
-                        v0x, v0y, v0z = trow[0, lane0], trow[0, lane0 + 1], trow[0, lane0 + 2]
-                        e1x, e1y, e1z = trow[0, lane0 + 3], trow[0, lane0 + 4], trow[0, lane0 + 5]
-                        e2x, e2y, e2z = trow[0, lane0 + 6], trow[0, lane0 + 7], trow[0, lane0 + 8]
-                        hx = dy * e2z - dz * e2y
-                        hy = dz * e2x - dx * e2z
-                        hz = dx * e2y - dy * e2x
-                        a = e1x * hx + e1y * hy + e1z * hz
-                        f = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
-                        sx = ox - v0x
-                        sy = oy - v0y
-                        sz = oz - v0z
-                        uu = f * (sx * hx + sy * hy + sz * hz)
-                        qx = sy * e1z - sz * e1y
-                        qy = sz * e1x - sx * e1z
-                        qz = sx * e1y - sy * e1x
-                        vv = f * (dx * qx + dy * qy + dz * qz)
-                        tt = f * (e2x * qx + e2y * qy + e2z * qz)
-                        ok = (
-                            (jnp.abs(a) >= TRI_EPS)
-                            & (uu >= 0.0) & (uu <= 1.0)
-                            & (vv >= 0.0) & (uu + vv <= 1.0)
-                            & (tt > TRI_EPS) & (tt < t)
-                            & mask
-                        )
-                        t = jnp.where(ok, tt, t)
-                        slot = jnp.where(ok, base_slot + k, slot)
-                        ww = 1.0 - uu - vv
-                        n0x, n0y, n0z = srow[0, lane0], srow[0, lane0 + 1], srow[0, lane0 + 2]
-                        n1x, n1y, n1z = srow[0, lane0 + 3], srow[0, lane0 + 4], srow[0, lane0 + 5]
-                        n2x, n2y, n2z = srow[0, lane0 + 6], srow[0, lane0 + 7], srow[0, lane0 + 8]
-                        u0a, v0a = srow[0, lane0 + 9], srow[0, lane0 + 10]
-                        u1a, v1a = srow[0, lane0 + 11], srow[0, lane0 + 12]
-                        u2a, v2a = srow[0, lane0 + 13], srow[0, lane0 + 14]
-                        if meta_shade:
-                            m_id = (srow_i[0, lane0 + 15] >> 26) & 0x3F
-                        else:
-                            m_id = srow[0, lane0 + 15].astype(jnp.int32)
-                        nx = jnp.where(ok, ww * n0x + uu * n1x + vv * n2x, nx)
-                        ny = jnp.where(ok, ww * n0y + uu * n1y + vv * n2y, ny)
-                        nz = jnp.where(ok, ww * n0z + uu * n1z + vv * n2z, nz)
-                        tu = jnp.where(ok, ww * u0a + uu * u1a + vv * u2a, tu)
-                        tv = jnp.where(ok, ww * v0a + uu * v1a + vv * v2a, tv)
-                        mat = jnp.where(ok, m_id, mat)
-                    tests = tests + TRIS_PER_ROW
-                    return t, slot, nx, ny, nz, tu, tv, mat, tests
-
-                return jax.lax.fori_loop(0, nrows, row_body, args)
-
             t, slot, nx, ny, nz, tu, tv, mat, tests = jax.lax.cond(
                 any_lane & is_leaf,
-                leaf_tests,
+                make_leaf_tests(ox, oy, oz, dx, dy, dz, mask, lf, nrows),
                 lambda a: a,
                 (t, slot, nx, ny, nz, tu, tv, mat, tests),
             )
@@ -577,13 +695,13 @@ def _tile(x):
     jax.jit,
     static_argnames=(
         "k_depths", "depth_limit", "depth_base", "n_mats", "root",
-        "max_steps", "meta_shade", "interpret",
+        "max_steps", "meta_shade", "interpret", "use_stack",
     ),
 )
 def _run(
     params, node_tables, tri_rows, shade_rows, comps,
     k_depths: int, depth_limit: int, depth_base: int, n_mats: int, root: int,
-    max_steps: int, meta_shade: bool, interpret: bool,
+    max_steps: int, meta_shade: bool, interpret: bool, use_stack: bool = False,
 ):
     n_tiles = comps[0].shape[0]
     tile_spec = pl.BlockSpec((1, *TILE_SHAPE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -608,6 +726,7 @@ def _run(
         _kernel,
         k_depths=k_depths, depth_limit=depth_limit, depth_base=depth_base,
         n_mats=n_mats, root=root, max_steps=max_steps, meta_shade=meta_shade,
+        use_stack=use_stack,
     )
     return pl.pallas_call(
         kernel,
@@ -615,6 +734,7 @@ def _run(
         out_shape=out_shapes,
         in_specs=[smem_spec] * 4 + [tile_spec] * 8 + [full] * 2,
         out_specs=out_specs,
+        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32)],
         interpret=interpret,
     )(params, *node_tables, *comps, tri_rows, shade_rows)
 
@@ -662,9 +782,18 @@ def trace(
     params = pack_params(scene)
     n_mats = int(scene.materials.albedo.shape[0])
     assert n_mats <= MAX_MATS
+    # stack-descent walk when the pack carries the near/far table and the
+    # tree fits the scratch stack (same gate as packet_bvh.traverse)
+    use_stack = (
+        STACK
+        and pk.node_nearfar is not None
+        and pk.num_nodes >= 3
+        and 0 < pk.stack_depth <= STACK_CAP
+    )
     outs = _run(
         params,
-        (pk.node_aabb, pk.node_meta2, pk.node_links),
+        (pk.node_aabb, pk.node_meta2,
+         pk.node_nearfar if use_stack else pk.node_links),
         pk.tri_rows,
         pk.tri_shade_rows,
         comps,
@@ -676,6 +805,7 @@ def trace(
         max_steps=4 * pk.num_nodes + 16,
         meta_shade=pk.meta_in_shade,
         interpret=interpret,
+        use_stack=use_stack,
     )
     (tpx, tpy, tpz, oox, ooy, ooz, odx, ody, odz,
      oseed, oflags, oslot, otex, trav, test, live) = outs
