@@ -94,6 +94,12 @@ KERNEL_SHADE = _os.environ.get("CRT_KERNEL_SHADE", "0") == "1"
 # bit-identical estimator energy); CRT_STACK=0 restores the link walk.
 STACK = _os.environ.get("CRT_STACK", "1") == "1"
 STACK_CAP = 128  # ints per cursor group; pack-time depth is asserted below
+# Candidate prefetch for the stack walk: the next node is one of
+# {near, far, stack top}, all known BEFORE the reduce — fetch all three
+# candidates' (near/far ids + both child records) while the reduce is in
+# flight (54 SMEM loads off the serial chain, selected by 18 scalar
+# 3-way selects after the branch resolves).
+STACK_PREFETCH = _os.environ.get("CRT_STACK_PREFETCH", "0") == "1"
 SMEM_BUDGET = int(_os.environ.get("CRT_SMEM_BUDGET", str(480 * 1024)))  # bytes
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
@@ -454,11 +460,14 @@ def _kernel_stack(
 
     gin = [group_inputs(g) for g in range(GROUPS)]
 
+    prefetch = STACK_PREFETCH
+
     def cond(c):
         steps, groups = c
         go = jnp.int32(0)
         for g in range(GROUPS):
-            cur, _sp = groups[g][0], groups[g][1]
+            head = groups[g][0]
+            cur = head[0] if prefetch else head
             slot = groups[g][5]
             gg = (cur >= 0).astype(jnp.int32)
             if any_hit:
@@ -475,19 +484,33 @@ def _kernel_stack(
             meta_ref[0, node], meta_ref[1, node],
         )
 
+    def candidate(node, o8):
+        """(near id, far id, near rec, far rec) of a possible next node."""
+        nn = jnp.maximum(node, 0)
+        cn = nf_ref[o8, 0, nn]
+        cf = nf_ref[o8, 1, nn]
+        return cn, cf, fetch8(jnp.maximum(cn, 0)), fetch8(jnp.maximum(cf, 0))
+
     def group_step(g, c):
         ox, oy, oz, dx, dy, dz, rdx, rdy, rdz, mask, o8 = gin[g]
-        cur, sp, t, u, v, slot, trav, test = c
+        head, sp, t, u, v, slot, trav, test = c
         # predicated-safe when parked (cur < 0): reads stay in bounds and
         # state does not advance
-        active = cur >= 0
-        node = jnp.maximum(cur, 0)
-        near = nf_ref[o8, 0, node]
-        far = nf_ref[o8, 1, node]
-        # interior nodes always have both children; parked cursors read
-        # node 0 (root, interior on this path) harmlessly
-        nrec = fetch8(jnp.maximum(near, 0))
-        frec = fetch8(jnp.maximum(far, 0))
+        if prefetch:
+            # this node's children ids + records were selected by the
+            # PREVIOUS step among its three prefetched candidates
+            cur, near, far, nrec, frec = head
+            active = cur >= 0
+        else:
+            cur = head
+            active = cur >= 0
+            node = jnp.maximum(cur, 0)
+            near = nf_ref[o8, 0, node]
+            far = nf_ref[o8, 1, node]
+            # interior nodes always have both children; parked cursors read
+            # node 0 (root, interior on this path) harmlessly
+            nrec = fetch8(jnp.maximum(near, 0))
+            frec = fetch8(jnp.maximum(far, 0))
 
         def slab(rec):
             bminx, bminy, bminz, bmaxx, bmaxy, bmaxz = rec[:6]
@@ -513,6 +536,16 @@ def _kernel_stack(
         # ONE vector->scalar reduce decides BOTH children (lane counts fit
         # 16 bits: tiles are <= 8192 rays)
         packed = jnp.sum(hitN.astype(jnp.int32) + (hitF.astype(jnp.int32) << 16))
+        if prefetch:
+            # next node is one of {near, far, pre-step stack top} — fetch
+            # all three candidates' children NOW, while the reduce is in
+            # flight (54 SMEM loads leave the serial chain; a pop never
+            # co-occurs with a push, so the pre-step top is the right pop
+            # target)
+            popc = stack_ref[g, jnp.maximum(sp - 1, 0)]
+            candN = candidate(near, o8)
+            candF = candidate(far, o8)
+            candP = candidate(popc, o8)
         anyN = (packed & 0xFFFF) > 0
         anyF = packed >= (1 << 16)
         leafN = nrec[7] > 0
@@ -580,16 +613,40 @@ def _kernel_stack(
         def _push():
             stack_ref[g, sp] = far
 
-        sp2 = sp + both.astype(jnp.int32)
-        pop_val = jnp.where(
-            sp2 > 0, stack_ref[g, jnp.maximum(sp2 - 1, 0)], jnp.int32(-1)
-        )
-        nxt = jnp.where(goN, near, jnp.where(goF, far, pop_val))
-        sp3 = jnp.where(goN | goF, sp2, jnp.maximum(sp2 - 1, 0))
-        cur = jnp.where(active, nxt, cur)
+        if prefetch:
+            nxt = jnp.where(
+                goN, near,
+                jnp.where(goF, far, jnp.where(sp > 0, popc, jnp.int32(-1))),
+            )
+
+            def sel(a, b, cc):
+                return jnp.where(goN, a, jnp.where(goF, b, cc))
+
+            near2 = sel(candN[0], candF[0], candP[0])
+            far2 = sel(candN[1], candF[1], candP[1])
+            nrec2 = tuple(sel(x, y, z) for x, y, z in zip(candN[2], candF[2], candP[2]))
+            frec2 = tuple(sel(x, y, z) for x, y, z in zip(candN[3], candF[3], candP[3]))
+            sp3 = jnp.where(
+                goN | goF, sp + both.astype(jnp.int32), jnp.maximum(sp - 1, 0)
+            )
+            head = (
+                jnp.where(active, nxt, cur),
+                jnp.where(active, near2, near),
+                jnp.where(active, far2, far),
+                tuple(jnp.where(active, a, b) for a, b in zip(nrec2, nrec)),
+                tuple(jnp.where(active, a, b) for a, b in zip(frec2, frec)),
+            )
+        else:
+            sp2 = sp + both.astype(jnp.int32)
+            pop_val = jnp.where(
+                sp2 > 0, stack_ref[g, jnp.maximum(sp2 - 1, 0)], jnp.int32(-1)
+            )
+            nxt = jnp.where(goN, near, jnp.where(goF, far, pop_val))
+            sp3 = jnp.where(goN | goF, sp2, jnp.maximum(sp2 - 1, 0))
+            head = jnp.where(active, nxt, cur)
         sp = jnp.where(active, sp3, sp)
         trav = trav + jnp.where(active, 1, 0)
-        return cur, sp, t, u, v, slot, trav, test
+        return head, sp, t, u, v, slot, trav, test
 
     def body(c):
         # unrolled like the link walk: group_step is a no-op on a parked
@@ -607,11 +664,21 @@ def _kernel_stack(
         s = slice(g * GSUB, (g + 1) * GSUB)
         gshape = (GSUB, 128)
         mask = gin[g][9]
+        o8 = gin[g][10]
         cur0 = jnp.where(
             jnp.sum(mask.astype(jnp.int32)) > 0, root, -1
         ).astype(jnp.int32)
+        if prefetch:
+            n0 = nf_ref[o8, 0, root]
+            f0 = nf_ref[o8, 1, root]
+            head0 = (
+                cur0, n0, f0,
+                fetch8(jnp.maximum(n0, 0)), fetch8(jnp.maximum(f0, 0)),
+            )
+        else:
+            head0 = cur0
         return (
-            cur0,
+            head0,
             jnp.int32(0),  # stack pointer
             t0[s],
             jnp.zeros(gshape, jnp.float32),
