@@ -322,7 +322,18 @@ def pack_tree(tree, tri_v0, tri_e1, tri_e2, obj_id=None, mat_id=None, roots=None
         obj_id=obj_id, mat_id=mat_id,
     )
     # forest world bounds = union over all roots (spatial-sort quantization)
-    return pk.replace(
+    pk = pk.replace(
         world_min=tuple(float(x) for x in tree["node_min"].min(axis=0)),
         world_max=tuple(float(x) for x in tree["node_max"].max(axis=0)),
+    )
+    # stack-walk tables: a forest seeds the stack with its root list (the
+    # same chaining thread_links(roots=...) encodes in the miss links);
+    # skipped automatically when any root is a leaf.  default=False: cell
+    # partitions are gap-free, both children hit nearly every step, and
+    # the heavier 2-slab step measured ~12% SLOWER on the KD forest
+    # (interchange_r2.json) — CRT_STACK=1 opts in.
+    return pack_mod.attach_stack_tables(
+        pk, tree["left"], tree["right"], tree["axis"],
+        roots=roots if roots is not None else [tree["root"]],
+        default=False,
     )

@@ -73,6 +73,15 @@ class PackedBVH:
     # tree depth (root level = 1); gates the SMEM stack-descent kernel
     # against its fixed per-group stack capacity.  0 = unknown.
     stack_depth: int = struct.field(pytree_node=False, default=0)
+    # forest roots for the stack walk (the link walk chains roots through
+    # the threaded miss links; the stack walk seeds its stack with them
+    # instead).  () = single tree at `root`.
+    stack_roots: tuple = struct.field(pytree_node=False, default=())
+    # per-structure default when CRT_STACK is unset: True for SAH BVHs
+    # (stack wins), False for grid/KD cell forests (tight sibling
+    # partitions -> both children hit nearly every step, heavier step
+    # loses; see docs/ROOFLINE.md + interchange_r2.json)
+    stack_default: bool = struct.field(pytree_node=False, default=True)
     # world bounds (host floats) for spatial ray-sort quantization
     world_min: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
     world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
@@ -207,6 +216,28 @@ def tree_depth(left: np.ndarray, right: np.ndarray, root: int) -> int:
         kids = np.concatenate([left[frontier], right[frontier]])
         frontier = kids[kids >= 0]
     return depth
+
+
+def attach_stack_tables(
+    pk: PackedBVH, left, right, axis, roots=None, default=True
+) -> PackedBVH:
+    """Equip a packed BVH/forest with the stack-descent tables: the
+    per-octant (near, far) child table, the tree depth, and (for forests)
+    the root list the walk seeds its stack with.  Returns `pk` unchanged
+    (stack_depth 0 = ineligible) when any root is a leaf — the walk only
+    steps on interior nodes.  `default` sets whether the walk engages when
+    CRT_STACK is unset (False for grid/KD cell forests, measured loss)."""
+    if roots is None or len(roots) == 0:
+        roots = [pk.root]
+    if any(left[r] < 0 for r in roots):
+        return pk
+    depth = max(tree_depth(left, right, r) for r in roots) + len(roots) - 1
+    return pk.replace(
+        node_nearfar=jnp.asarray(nearfar_from_children(left, right, axis)),
+        stack_depth=depth,
+        stack_roots=tuple(int(r) for r in roots),
+        stack_default=bool(default),
+    )
 
 
 class HostBVHView:

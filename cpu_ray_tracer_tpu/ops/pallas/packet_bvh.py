@@ -90,9 +90,17 @@ KERNEL_SHADE = _os.environ.get("CRT_KERNEL_SHADE", "0") == "1"
 # walk pays one per interior-with-a-hit — the serial reduce chain is the
 # kernel's measured wall (docs/ROOFLINE.md), so this halves the bound
 # resource at the cost of 2 slab tests (cheap VPU math) per step.
-# Default ON (measured v5e, bunny_teapot 64 spp: 13.03 -> 13.41 Mrays/s;
-# bit-identical estimator energy); CRT_STACK=0 restores the link walk.
-STACK = _os.environ.get("CRT_STACK", "1") == "1"
+# Tri-state: CRT_STACK unset -> per-structure default (pk.stack_default:
+# ON for SAH BVHs, 13.03 -> 13.41 Mrays/s headline; OFF for grid/KD cell
+# forests, whose tight sibling partitions hit both children nearly every
+# step and the heavier 2-slab step loses ~12% on KD — interchange_r2.json);
+# CRT_STACK=1/0 forces it globally.
+_stack_env = _os.environ.get("CRT_STACK")
+STACK = None if _stack_env is None else (_stack_env == "1")
+
+
+def _want_stack(pk) -> bool:
+    return pk.stack_default if STACK is None else STACK
 STACK_CAP = 128  # ints per cursor group; pack-time depth is asserted below
 # Candidate prefetch for the stack walk: the next node is one of
 # {near, far, stack top}, all known BEFORE the reduce — fetch all three
@@ -431,7 +439,7 @@ def _kernel_stack(
     t_ref, u_ref, v_ref, slot_ref, trav_ref, test_ref,
     stack_ref,  # SMEM scratch [G, STACK_CAP] deferred far-child stack
     *,
-    root: int,
+    roots: tuple,
     any_hit: bool,
     max_steps: int,
 ):
@@ -444,6 +452,10 @@ def _kernel_stack(
     deferred on the stack — the ordered traversal of the reference
     (infra/bvh.cpp:224-258) vectorised per packet.  One reduce covers two
     nodes, vs one per visited node on the threaded-link walk.
+
+    Forests (`roots` longer than 1, e.g. the per-instance grid/KD cell
+    trees chained under a TLAS layout) seed the stack with roots[1:] —
+    exactly the chaining the link walk encodes in its threaded miss links.
     """
     pid = pl.program_id(0)
 
@@ -666,11 +678,15 @@ def _kernel_stack(
         mask = gin[g][9]
         o8 = gin[g][10]
         cur0 = jnp.where(
-            jnp.sum(mask.astype(jnp.int32)) > 0, root, -1
+            jnp.sum(mask.astype(jnp.int32)) > 0, roots[0], -1
         ).astype(jnp.int32)
+        # forest: remaining roots pre-pushed (popped in order once the
+        # first tree's walk drains)
+        for i, rt in enumerate(roots[1:]):
+            stack_ref[g, i] = jnp.int32(rt)
         if prefetch:
-            n0 = nf_ref[o8, 0, root]
-            f0 = nf_ref[o8, 1, root]
+            n0 = nf_ref[o8, 0, roots[0]]
+            f0 = nf_ref[o8, 1, roots[0]]
             head0 = (
                 cur0, n0, f0,
                 fetch8(jnp.maximum(n0, 0)), fetch8(jnp.maximum(f0, 0)),
@@ -679,7 +695,7 @@ def _kernel_stack(
             head0 = cur0
         return (
             head0,
-            jnp.int32(0),  # stack pointer
+            jnp.int32(len(roots) - 1),  # stack pointer
             t0[s],
             jnp.zeros(gshape, jnp.float32),
             jnp.zeros(gshape, jnp.float32),
@@ -709,7 +725,7 @@ def _tile_arrays(x: jnp.ndarray, n_tiles: int):
     jax.jit,
     static_argnames=(
         "any_hit", "interpret", "root", "max_steps", "with_shade", "meta_shade",
-        "stack",
+        "stack", "roots",
     ),
 )
 def _run(
@@ -725,6 +741,7 @@ def _run(
     with_shade: bool,
     meta_shade: bool = False,
     stack: bool = False,
+    roots: tuple = (),
 ):
     n_tiles = oct_per_tile.shape[1]
     tile_spec = pl.BlockSpec((1, *TILE_SHAPE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -757,7 +774,8 @@ def _run(
         # node_rows is (aabb, meta2, nearfar); same SMEM specs as the link
         # tables.  The deferred-far stack is SMEM scratch.
         kernel = functools.partial(
-            _kernel_stack, root=root, any_hit=any_hit, max_steps=max_steps,
+            _kernel_stack, roots=roots or (root,), any_hit=any_hit,
+            max_steps=max_steps,
         )
         return pl.pallas_call(
             kernel,
@@ -850,7 +868,7 @@ def traverse(
     # SMEM-stack ordered descent: needs the near/far table, a known tree
     # depth within the stack capacity, and a root that is interior
     use_stack = (
-        STACK
+        _want_stack(pk)
         and use_smem
         and pk.node_nearfar is not None
         and not with_shade
@@ -876,6 +894,7 @@ def traverse(
         with_shade=with_shade and not use_stack,
         meta_shade=pk.meta_in_shade,
         stack=use_stack,
+        roots=pk.stack_roots if use_stack else (),
     )
     t, u, v, slot, trav, test = outs[:6]
 

@@ -54,7 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cpu_ray_tracer_tpu import constants
-from cpu_ray_tracer_tpu.ops.pallas.packet_bvh import STACK, STACK_CAP
+from cpu_ray_tracer_tpu.ops.pallas import packet_bvh as _pb
+from cpu_ray_tracer_tpu.ops.pallas.packet_bvh import STACK_CAP
 
 TILE = int(_os.environ.get("CRT_WF_TILE", "4096"))
 TILE_SHAPE = (TILE // 128, 128)
@@ -164,6 +165,7 @@ def _kernel(
     max_steps: int,
     meta_shade: bool,
     use_stack: bool,
+    roots: tuple = (),
 ):
     from cpu_ray_tracer_tpu.accel.pack import TRI_F, TRIS_PER_ROW
 
@@ -334,10 +336,15 @@ def _kernel(
             return cur, sp, t, slot, nx, ny, nz, tu, tv, mat, steps, tests
 
         n_live = jnp.sum(alive)
-        cur0 = jnp.where(n_live > 0, root, -1).astype(jnp.int32)
+        rts = roots or (root,)
+        cur0 = jnp.where(n_live > 0, rts[0], -1).astype(jnp.int32)
+        # forest: seed the stack with the remaining roots (re-written on
+        # every per-depth traversal — the scratch persists across calls)
+        for i, rt in enumerate(rts[1:]):
+            stack_ref[i] = jnp.int32(rt)
         init = (
             cur0,
-            jnp.int32(0),  # stack pointer
+            jnp.int32(len(rts) - 1),  # stack pointer
             t0,
             jnp.full(shape, -1, jnp.int32),  # slot
             jnp.zeros(shape, jnp.float32),  # nx
@@ -695,13 +702,14 @@ def _tile(x):
     jax.jit,
     static_argnames=(
         "k_depths", "depth_limit", "depth_base", "n_mats", "root",
-        "max_steps", "meta_shade", "interpret", "use_stack",
+        "max_steps", "meta_shade", "interpret", "use_stack", "roots",
     ),
 )
 def _run(
     params, node_tables, tri_rows, shade_rows, comps,
     k_depths: int, depth_limit: int, depth_base: int, n_mats: int, root: int,
     max_steps: int, meta_shade: bool, interpret: bool, use_stack: bool = False,
+    roots: tuple = (),
 ):
     n_tiles = comps[0].shape[0]
     tile_spec = pl.BlockSpec((1, *TILE_SHAPE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -726,7 +734,7 @@ def _run(
         _kernel,
         k_depths=k_depths, depth_limit=depth_limit, depth_base=depth_base,
         n_mats=n_mats, root=root, max_steps=max_steps, meta_shade=meta_shade,
-        use_stack=use_stack,
+        use_stack=use_stack, roots=roots,
     )
     return pl.pallas_call(
         kernel,
@@ -785,7 +793,7 @@ def trace(
     # stack-descent walk when the pack carries the near/far table and the
     # tree fits the scratch stack (same gate as packet_bvh.traverse)
     use_stack = (
-        STACK
+        _pb._want_stack(pk)
         and pk.node_nearfar is not None
         and pk.num_nodes >= 3
         and 0 < pk.stack_depth <= STACK_CAP
@@ -806,6 +814,7 @@ def trace(
         meta_shade=pk.meta_in_shade,
         interpret=interpret,
         use_stack=use_stack,
+        roots=pk.stack_roots if use_stack else (),
     )
     (tpx, tpy, tpz, oox, ooy, ooz, odx, ody, odz,
      oseed, oflags, oslot, otex, trav, test, live) = outs

@@ -374,15 +374,8 @@ def compile_scene(
         )
         # per-octant (near, far) child table for the SMEM-stack ordered
         # two-child descent kernel (CRT_STACK=1, ops/pallas/packet_bvh.py)
-        packed = packed.replace(
-            node_nearfar=jnp.asarray(
-                pack_mod.nearfar_from_children(
-                    host_pack["left"], host_pack["right"], host_pack["axis"]
-                )
-            ),
-            stack_depth=pack_mod.tree_depth(
-                host_pack["left"], host_pack["right"], host_pack["root"]
-            ),
+        packed = pack_mod.attach_stack_tables(
+            packed, host_pack["left"], host_pack["right"], host_pack["axis"]
         )
         # Wide kernel is opt-in: on v5e it measured 12.6 Mrays/s primary vs
         # the binary packet kernel's 18.8 (equal on sorted bounce rays) —
@@ -534,9 +527,12 @@ def _build_shared_instances(spec, get_mesh, force_split_cap, leaf_target, use_pa
             from cpu_ray_tracer_tpu.accel import pack as pack_mod
 
             packs.append(
-                pack_mod.pack_host(
-                    host.node_min, host.node_max, host.left_first,
-                    host.tri_count, idx, v0h, e1h, e2h, hit, miss, 0,
+                pack_mod.attach_stack_tables(
+                    pack_mod.pack_host(
+                        host.node_min, host.node_max, host.left_first,
+                        host.tri_count, idx, v0h, e1h, e2h, hit, miss, 0,
+                    ),
+                    host.left, host.right, host.axis,
                 )
             )
 

@@ -387,3 +387,29 @@ class TestStackKernel:
         np.testing.assert_array_equal(
             np.asarray(la["tri_idx"]) >= 0, np.asarray(sa["tri_idx"]) >= 0
         )
+
+    def test_forest_roots_match_link_kernel(self, rng, monkeypatch):
+        # grid-accel TLAS scene -> the packed structure is a MERGED FOREST
+        # (one cell tree per instance); the link walk chains roots through
+        # threaded miss links, the stack walk seeds its stack with them —
+        # both must see every instance
+        import os
+        from cpu_ray_tracer_tpu.scene.build import compile_scene
+
+        xml = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets", "scenes", "bunny_teapot.xml",
+        )
+        scene, info = compile_scene(xml, layout="tlas", accel="grid", use_pallas=True)
+        pk = scene.packed
+        assert len(pk.stack_roots) == info.object_count == 3
+        o, d = random_rays(rng, 1024, spread=3.0)
+        t0 = jnp.full((1024,), 1e34, jnp.float32)
+        link, stack = self._ab(monkeypatch, pk, scene.tris, o, d, t0)
+        np.testing.assert_array_equal(np.asarray(link["t"]), np.asarray(stack["t"]))
+        np.testing.assert_array_equal(
+            np.asarray(link["tri_idx"]), np.asarray(stack["tri_idx"])
+        )
+        # all three instances must be reachable through the stack walk
+        hit_objs = set(np.asarray(stack["obj_id"]).tolist()) - {-1}
+        assert len(hit_objs) >= 2
