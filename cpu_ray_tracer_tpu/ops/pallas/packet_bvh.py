@@ -108,6 +108,14 @@ STACK_CAP = 128  # ints per cursor group; pack-time depth is asserted below
 # flight (54 SMEM loads off the serial chain, selected by 18 scalar
 # 3-way selects after the branch resolves).
 STACK_PREFETCH = _os.environ.get("CRT_STACK_PREFETCH", "0") == "1"
+# Deferred leaf tests (stack walk): leaf children found at step k run
+# their Möller–Trumbore rows at step k+1, BETWEEN issuing k+1's packed
+# reduce and reading it — the ~175 ns vector->scalar sync hides behind
+# the rows instead of preceding them.  t tightens one step late, so a few
+# extra nodes pass the slab test (their tris cannot win: they only
+# survived a STALER, larger t) — results identical, work slightly up,
+# sync exposure down.
+STACK_DEFER = _os.environ.get("CRT_STACK_DEFER", "0") == "1"
 SMEM_BUDGET = int(_os.environ.get("CRT_SMEM_BUDGET", str(480 * 1024)))  # bytes
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
@@ -503,9 +511,64 @@ def _kernel_stack(
         cf = nf_ref[o8, 1, nn]
         return cn, cf, fetch8(jnp.maximum(cn, 0)), fetch8(jnp.maximum(cf, 0))
 
+    def leaf_tests_for(g):
+        """MT row loop over [lf, lf+nrows) for cursor group g — used inside
+        group_step and (STACK_DEFER) by the post-loop pending drain."""
+        ox, oy, oz, dx, dy, dz = gin[g][:6]
+        mask = gin[g][9]
+
+        def leaf_tests(lf, nrows, args):
+            def row_body(i, args2):
+                t, u, v, slot, test = args2
+                trow = tris_ref[pl.ds(lf + i, 1), :]  # (1, 128)
+                base_slot = (lf + i) * TRIS_PER_ROW
+                for k in range(TRIS_PER_ROW):
+                    lane0 = k * TRI_F
+                    v0x, v0y, v0z = trow[0, lane0], trow[0, lane0 + 1], trow[0, lane0 + 2]
+                    e1x, e1y, e1z = trow[0, lane0 + 3], trow[0, lane0 + 4], trow[0, lane0 + 5]
+                    e2x, e2y, e2z = trow[0, lane0 + 6], trow[0, lane0 + 7], trow[0, lane0 + 8]
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    f = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    uu = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    vv = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (jnp.abs(a) >= TRI_EPS)
+                        & (uu >= 0.0)
+                        & (uu <= 1.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (tt > TRI_EPS)
+                        & (tt < t)
+                        & mask
+                    )
+                    t = jnp.where(ok, tt, t)
+                    u = jnp.where(ok, uu, u)
+                    v = jnp.where(ok, vv, v)
+                    slot = jnp.where(ok, base_slot + k, slot)
+                test = test + TRIS_PER_ROW
+                return t, u, v, slot, test
+
+            return jax.lax.fori_loop(0, nrows, row_body, args)
+
+        return leaf_tests
+
     def group_step(g, c):
         ox, oy, oz, dx, dy, dz, rdx, rdy, rdz, mask, o8 = gin[g]
-        head, sp, t, u, v, slot, trav, test = c
+        if STACK_DEFER:
+            (head, sp, t, u, v, slot, trav, test) = c[:8]
+            pend = c[8:]
+        else:
+            head, sp, t, u, v, slot, trav, test = c
         # predicated-safe when parked (cur < 0): reads stay in bounds and
         # state does not advance
         if prefetch:
@@ -558,64 +621,45 @@ def _kernel_stack(
             candN = candidate(near, o8)
             candF = candidate(far, o8)
             candP = candidate(popc, o8)
+        leaf_tests = leaf_tests_for(g)
+        if STACK_DEFER:
+            # run the PREVIOUS step's pending leaf rows now — the packed
+            # reduce above is still in flight; its result is not consumed
+            # until anyN below
+            args = (t, u, v, slot, test)
+            args = jax.lax.cond(
+                pend[1] > 0,
+                lambda a: leaf_tests(pend[0], pend[1], a), lambda a: a, args,
+            )
+            args = jax.lax.cond(
+                pend[3] > 0,
+                lambda a: leaf_tests(pend[2], pend[3], a), lambda a: a, args,
+            )
+            t, u, v, slot, test = args
         anyN = (packed & 0xFFFF) > 0
         anyF = packed >= (1 << 16)
         leafN = nrec[7] > 0
         leafF = frec[7] > 0
 
-        def leaf_tests(lf, nrows, args):
-            def row_body(i, args2):
-                t, u, v, slot, test = args2
-                trow = tris_ref[pl.ds(lf + i, 1), :]  # (1, 128)
-                base_slot = (lf + i) * TRIS_PER_ROW
-                for k in range(TRIS_PER_ROW):
-                    lane0 = k * TRI_F
-                    v0x, v0y, v0z = trow[0, lane0], trow[0, lane0 + 1], trow[0, lane0 + 2]
-                    e1x, e1y, e1z = trow[0, lane0 + 3], trow[0, lane0 + 4], trow[0, lane0 + 5]
-                    e2x, e2y, e2z = trow[0, lane0 + 6], trow[0, lane0 + 7], trow[0, lane0 + 8]
-                    hx = dy * e2z - dz * e2y
-                    hy = dz * e2x - dx * e2z
-                    hz = dx * e2y - dy * e2x
-                    a = e1x * hx + e1y * hy + e1z * hz
-                    f = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
-                    sx = ox - v0x
-                    sy = oy - v0y
-                    sz = oz - v0z
-                    uu = f * (sx * hx + sy * hy + sz * hz)
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    vv = f * (dx * qx + dy * qy + dz * qz)
-                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
-                    ok = (
-                        (jnp.abs(a) >= TRI_EPS)
-                        & (uu >= 0.0)
-                        & (uu <= 1.0)
-                        & (vv >= 0.0)
-                        & (uu + vv <= 1.0)
-                        & (tt > TRI_EPS)
-                        & (tt < t)
-                        & mask
-                    )
-                    t = jnp.where(ok, tt, t)
-                    u = jnp.where(ok, uu, u)
-                    v = jnp.where(ok, vv, v)
-                    slot = jnp.where(ok, base_slot + k, slot)
-                test = test + TRIS_PER_ROW
-                return t, u, v, slot, test
-
-            return jax.lax.fori_loop(0, nrows, row_body, args)
-
-        args = (t, u, v, slot, test)
-        args = jax.lax.cond(
-            anyN & leafN & (not NO_LEAF),
-            lambda a: leaf_tests(nrec[6], nrec[7], a), lambda a: a, args,
-        )
-        args = jax.lax.cond(
-            anyF & leafF & (not NO_LEAF),
-            lambda a: leaf_tests(frec[6], frec[7], a), lambda a: a, args,
-        )
-        t, u, v, slot, test = args
+        if STACK_DEFER:
+            # schedule this step's leaf children for the NEXT step
+            do_n = anyN & leafN & active & (not NO_LEAF)
+            do_f = anyF & leafF & active & (not NO_LEAF)
+            pend = (
+                nrec[6], jnp.where(do_n, nrec[7], 0),
+                frec[6], jnp.where(do_f, frec[7], 0),
+            )
+        else:
+            args = (t, u, v, slot, test)
+            args = jax.lax.cond(
+                anyN & leafN & (not NO_LEAF),
+                lambda a: leaf_tests(nrec[6], nrec[7], a), lambda a: a, args,
+            )
+            args = jax.lax.cond(
+                anyF & leafF & (not NO_LEAF),
+                lambda a: leaf_tests(frec[6], frec[7], a), lambda a: a, args,
+            )
+            t, u, v, slot, test = args
 
         goN = anyN & (~leafN) & active
         goF = anyF & (~leafF) & active
@@ -658,7 +702,8 @@ def _kernel_stack(
             head = jnp.where(active, nxt, cur)
         sp = jnp.where(active, sp3, sp)
         trav = trav + jnp.where(active, 1, 0)
-        return head, sp, t, u, v, slot, trav, test
+        out = (head, sp, t, u, v, slot, trav, test)
+        return out + pend if STACK_DEFER else out
 
     def body(c):
         # unrolled like the link walk: group_step is a no-op on a parked
@@ -693,7 +738,7 @@ def _kernel_stack(
             )
         else:
             head0 = cur0
-        return (
+        init = (
             head0,
             jnp.int32(len(roots) - 1),  # stack pointer
             t0[s],
@@ -703,12 +748,30 @@ def _kernel_stack(
             jnp.int32(0),  # trav: interior steps (stats; link walk counts visits)
             jnp.int32(0),  # test: tri-test counter
         )
+        if STACK_DEFER:
+            # pending leaf descriptors (lf, nrows) x2; nrows 0 = empty
+            init = init + (jnp.int32(0),) * 4
+        return init
 
     carry = (jnp.int32(0), tuple(group_init(g) for g in range(GROUPS)))
     steps, groups = jax.lax.while_loop(cond, body, carry)
     for g in range(GROUPS):
         s = slice(g * GSUB, (g + 1) * GSUB)
-        _, _, t, u, v, slot, trav, test = groups[g]
+        _, _, t, u, v, slot, trav, test = groups[g][:8]
+        if STACK_DEFER:
+            # drain the leaf rows the final step left pending
+            pend = groups[g][8:]
+            leaf_tests = leaf_tests_for(g)
+            args = (t, u, v, slot, test)
+            args = jax.lax.cond(
+                pend[1] > 0,
+                lambda a: leaf_tests(pend[0], pend[1], a), lambda a: a, args,
+            )
+            args = jax.lax.cond(
+                pend[3] > 0,
+                lambda a: leaf_tests(pend[2], pend[3], a), lambda a: a, args,
+            )
+            t, u, v, slot, test = args
         t_ref[0, s, :] = t
         u_ref[0, s, :] = u
         v_ref[0, s, :] = v
