@@ -1,17 +1,23 @@
 """Pallas TPU packet BVH traversal — the hot kernel of the framework.
 
 Replaces the pure-XLA lockstep traversal (ops/traverse_bvh.py) whose
-per-step cost is dominated by dispatch + gathers: here a TILE of 1024 rays
-(two (8, 128) vregs per component) shares ONE scalar node cursor chasing the
-threaded skip links; every step does
+per-step cost is dominated by dispatch + gathers: here a TILE of rays
+shares ONE scalar node cursor.  Two walks:
 
-  * one dynamic-sublane row fetch from the octant-replicated node table
-    (accel/pack.py layout),
-  * a one-hot record select + static scalar extracts,
-  * a broadcast slab test of the whole tile against the node's AABB
-    (pure VPU math, zero gathers),
-  * on leaf hits, unconditional Möller–Trumbore tests of whole 8-triangle
-    rows (degenerate padding never hits).
+  * `_kernel_stack` (default for SAH BVHs): ordered two-child descent —
+    each step slab-tests BOTH children of one interior node, decides them
+    with a single packed vector->scalar reduce, runs leaf children's
+    Möller–Trumbore rows inline, and defers the far interior child on a
+    per-group SMEM stack (infra/bvh.cpp:224-258 semantics, one reduce per
+    TWO nodes).
+  * `_kernel` (default for grid/KD cell forests): threaded per-octant
+    hit/miss skip links, one node per step, successor records prefetched
+    during the reduce.
+
+Both do broadcast slab tests of the whole tile (pure VPU math, zero
+gathers) and unconditional Möller–Trumbore tests of whole 8-triangle
+rows (degenerate padding never hits); node records come from SMEM scalar
+tables (or octant-replicated VMEM rows for huge scenes).
 
 The packet visits the union of nodes any live lane needs — the classic
 packet-traversal trade: slightly more nodes than per-ray traversal, vastly

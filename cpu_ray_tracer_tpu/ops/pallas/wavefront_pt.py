@@ -31,8 +31,9 @@ geometry) live in an SMEM table; per-lane fields come from an unrolled
 select over the (tiny, <= MAX_MATS) material id — no gathers.
 
 The traversal step reuses the packet kernel's proven recipe
-(ops/pallas/packet_bvh.py): SMEM scalar node tables, successor prefetch,
-majority-octant threaded links, whole-row Möller–Trumbore leaves — plus the
+(ops/pallas/packet_bvh.py): SMEM scalar node tables, the ordered
+two-child SMEM-stack walk by default (threaded links with successor
+prefetch for cell forests), whole-row Möller–Trumbore leaves — plus the
 in-kernel shading-attribute interpolation (normal/uv/mat ride the while
 carry) that is required here because the winning attributes must feed the
 bounce math without leaving the kernel.
