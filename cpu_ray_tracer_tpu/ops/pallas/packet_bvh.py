@@ -77,6 +77,10 @@ SMEM_NODES = _os.environ.get("CRT_SMEM_NODES", "1") != "0"
 # profiling-only: 1 skips all leaf Möller–Trumbore work (results are WRONG);
 # isolates node-walk cost from leaf-row cost in the probes
 NO_LEAF = _os.environ.get("CRT_NO_LEAF", "0") == "1"
+# profiling-only: 1 drops the per-tri u/v select chains + while-carries
+# from the leaf rows (bary outputs are WRONG — zeros); measures the ceiling
+# of recomputing barycentrics outside the kernel from the winning slot
+NO_UV = _os.environ.get("CRT_NO_UV", "0") == "1"
 # Successor prefetch (SMEM node-table path): each step carries the CURRENT
 # node's record and fetches BOTH successors' records while the
 # vector->scalar hit reduction is still in flight; the branch then SELECTS
@@ -313,8 +317,9 @@ def _kernel(
                         & mask
                     )
                     t = jnp.where(ok, tt, t)
-                    u = jnp.where(ok, uu, u)
-                    v = jnp.where(ok, vv, v)
+                    if not NO_UV:
+                        u = jnp.where(ok, uu, u)
+                        v = jnp.where(ok, vv, v)
                     slot = jnp.where(ok, base_slot + k, slot)
                     if with_shade:
                         # interpolate shading attributes at test time using
@@ -558,8 +563,9 @@ def _kernel_stack(
                         & mask
                     )
                     t = jnp.where(ok, tt, t)
-                    u = jnp.where(ok, uu, u)
-                    v = jnp.where(ok, vv, v)
+                    if not NO_UV:
+                        u = jnp.where(ok, uu, u)
+                        v = jnp.where(ok, vv, v)
                     slot = jnp.where(ok, base_slot + k, slot)
                 test = test + TRIS_PER_ROW
                 return t, u, v, slot, test
