@@ -118,6 +118,52 @@ def make_kernel(variant: str):
             step, cur, acc = jax.lax.while_loop(
                 lambda c: c[0] < STEPS, body, carry)
             out_ref[0] = acc + jnp.float32(cur)
+        elif variant.startswith("E"):
+            # 8-ary step model: EIGHT slab tests of 8 different nodes per
+            # step, decided by either 2 packed reduces (E2: 4 bool fields
+            # of 8 bits each per i32 — enough for any-hit booleans if each
+            # lane contributes a saturating single bit... here we just sum
+            # counts, fields may alias; timing-only) or 8 separate reduces
+            # (E8).  Measures whether multiple vector->scalar reduces
+            # PIPELINE (share one ~175 ns sync) or serialize.
+            n_red = int(variant[1:])
+            def body(c):
+                step, cur, acc = c
+                node = jnp.maximum(cur, 0)
+                hits = []
+                for k in range(8):
+                    nk = (node + k) & 1023
+                    lane_hit = slab(nk)
+                    acc = acc + lane_hit.astype(jnp.float32)
+                    hits.append(lane_hit.astype(jnp.int32))
+                if n_red == 8:
+                    scal = [jnp.sum(h) for h in hits]
+                    bits = jnp.int32(0)
+                    for k, s in enumerate(scal):
+                        bits = bits | (jnp.where(s > 0, 1, 0) << k)
+                elif n_red == 2:
+                    p0 = jnp.sum(hits[0] + (hits[1] << 8)
+                                 + (hits[2] << 16) + (hits[3] << 24))
+                    p1 = jnp.sum(hits[4] + (hits[5] << 8)
+                                 + (hits[6] << 16) + (hits[7] << 24))
+                    bits = p0 | p1
+                else:  # 1 packed reduce (bool-ish, timing only)
+                    p0 = hits[0]
+                    for k in range(1, 8):
+                        p0 = p0 | (hits[k] << (k * 4))
+                    bits = jnp.sum(p0)
+                hit_link, miss_link = fetch_links(node)
+                cur = jnp.where(cur < 0, cur,
+                                jnp.where((bits & 0xFF) != 0,
+                                          hit_link, miss_link))
+                step = step + 1
+                return step, cur, acc
+
+            carry = (jnp.int32(0), jnp.int32(0),
+                     jnp.zeros(TILE_SHAPE, jnp.float32))
+            step, cur, acc = jax.lax.while_loop(
+                lambda c: c[0] < STEPS, body, carry)
+            out_ref[0] = acc + jnp.float32(cur)
         elif variant == "D":
             def body(c):
                 step, cur, acc = c
@@ -194,7 +240,10 @@ def main():
             y = g(y)
         float(y)
 
-    for variant in ("A", "B", "C", "D"):
+    variants = ("A", "B", "C", "D", "E1", "E2", "E8")
+    if os.environ.get("SYNC_VARIANTS"):
+        variants = tuple(os.environ["SYNC_VARIANTS"].split(","))
+    for variant in variants:
         x = run(aabb, links, comps, variant)
         jax.block_until_ready(x)
         warm()
