@@ -35,6 +35,7 @@ def main():
     from cpu_ray_tracer_tpu.core import camera as cam_mod
     from cpu_ray_tracer_tpu.render import pathtracer
     from cpu_ray_tracer_tpu.scene.build import compile_scene
+    from cpu_ray_tracer_tpu.utils.metrics import runtime_flags
 
     if os.path.isdir(os.path.join(REPO, ".jax_cache")):
         jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
@@ -94,6 +95,10 @@ def main():
             "energy": float(energy) / spp,
             "device": str(jax.devices()[0]),
             "pallas": bool(scene.use_pallas),
+            # self-describing artifact: record what actually ran (the native
+            # builder falls back to numpy silently; CRT_* flags retune the
+            # kernels) so a committed number can't quietly change meaning
+            **runtime_flags(),
         },
     }
     print(json.dumps(result))

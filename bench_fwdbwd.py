@@ -27,9 +27,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BASELINE_RAYS_PER_S = 50e6  # self-chosen denominator: 50% of the 100M
-# forward north star (BASELINE.md names the fwd+bwd metric but sets no
-# number for it — noted so the vs_baseline field is read correctly)
+# BASELINE.md names the fwd+bwd metric but sets no number for it, so
+# vs_baseline reports against the FORWARD north star (100M rays/s/chip) —
+# the only driver-set denominator that exists.  detail.vs_forward gives the
+# fwd+bwd/forward ratio against the committed forward headline.
+BASELINE_RAYS_PER_S = 100e6
 WIDTH, HEIGHT = 1280, 720
 STEPS = 16
 DEPTH_LIMIT = 5  # r3: the forward headline's own depth (VERDICT r2 ask #3)
@@ -43,6 +45,7 @@ def main():
     from cpu_ray_tracer_tpu.diff import grad as grad_mod
     from cpu_ray_tracer_tpu.render import pathtracer
     from cpu_ray_tracer_tpu.scene.build import compile_scene
+    from cpu_ray_tracer_tpu.utils.metrics import runtime_flags
 
     if os.path.isdir(os.path.join(REPO, ".jax_cache")):
         jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
@@ -91,12 +94,25 @@ def main():
 
     total_rays = float(nrays)
     rays_per_s = total_rays / dt
+    # fwd+bwd relative to the committed FORWARD headline (BENCH json), so the
+    # ratio reads "backward costs X of forward" instead of inventing a target
+    fwd = None
+    for name in sorted(os.listdir(REPO), reverse=True):
+        if name.startswith("BENCH_r") and name.endswith(".json"):
+            try:
+                with open(os.path.join(REPO, name)) as f:
+                    fwd = json.load(f).get("parsed", {}).get("value")
+            except Exception:
+                fwd = None
+            if fwd:
+                break
     result = {
         "metric": "path_trace_fwdbwd_rays_per_s_per_chip",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
         "detail": {
+            "vs_forward": (rays_per_s / fwd) if fwd else None,
             "resolution": [width, height],
             "steps": steps,
             "depth_limit": depth_limit,
@@ -106,6 +122,7 @@ def main():
             "param_leaves": len(jax.tree.leaves(params)),
             "texel_grads": "zero in this parity-tap mode; see module docstring",
             "device": str(jax.devices()[0]),
+            **runtime_flags(),
         },
     }
     if out_path:

@@ -63,8 +63,15 @@ def main():
         return rays.o, rays.d, seeds
 
     timeit(
+        # reduce ALL outputs (o, d, AND the carried-forward seed state) so
+        # XLA cannot dead-code the final seed updates render_pass pays for
         "raygen (seeds+jitter+rays)",
-        jax.jit(lambda i: sum(jnp.sum(v) for v in raygen(i)[:2]).astype(jnp.float32)),
+        jax.jit(
+            lambda i: (
+                sum(jnp.sum(v) for v in raygen(i)[:2])
+                + jnp.sum(raygen(i)[2].astype(jnp.float32))
+            ).astype(jnp.float32)
+        ),
         jnp.uint32(1),
     )
 

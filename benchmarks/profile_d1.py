@@ -64,7 +64,7 @@ def main():
         return dict(
             o=wf["o"], d=wf["d"], seed=wf["seed"], throughput=wf["tp"],
             radiance=jnp.zeros((r, 3), jnp.float32), inside=wf["inside"],
-            alive=wf["alive"], missed=jnp.zeros((r,), jnp.bool_),
+            alive=wf["alive"], missed=wf["missed"],
             traversed=wf["traversed"], tested=wf["tested"],
             pixel=jnp.arange(r, dtype=jnp.int32), locus=wf["locus"],
         )

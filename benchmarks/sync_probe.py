@@ -15,9 +15,18 @@ four kernel variants over the same 256-step walk on real scene tables:
   C per-step sync: (1) + (2) + (3) — the production kernel's shape.
   D sync-per-4:    (1) + (2) per step, ONE reduce per 4 steps feeding the
                    4th branch — the BFS-frontier design's cost model.
+  E1/E2/E8:        8-ary reduce-pipelining probes: EIGHT slab tests of 8
+                   different nodes per counted step, decided by 1 packed
+                   reduce (E1), 2 reduces (E2), or 8 separate reduces (E8)
+                   — measures whether multiple vector->scalar reduces
+                   pipeline (share one sync) or serialize.
 
 ns/step deltas between variants give the price of the vector work and of
-the sync, and whether batching syncs (D) recovers variant-B speed.
+the sync, and whether batching syncs (D) recovers variant-B speed.  NOTE
+the step granularity differs: A-D process ONE node per counted step, the E
+variants process EIGHT — the printout reports both ns/step and ns/node so
+rows stay comparable.  SYNC_VARIANTS=C,D (comma list) filters which
+variants run.
 """
 
 import os
@@ -254,8 +263,14 @@ def main():
         float(jnp.asarray(x).sum())
         dt = (time.time() - t0) / reps
         ns_step = dt * 1e9 / (N_TILES * STEPS)
-        print(f"variant {variant}: {dt*1000:.2f} ms  {ns_step:.0f} ns/step",
-              flush=True)
+        # E variants slab-test 8 nodes per counted step; A-D test one —
+        # ns/node is the cross-variant-comparable figure
+        nodes_per_step = 8 if variant.startswith("E") else 1
+        print(
+            f"variant {variant}: {dt*1000:.2f} ms  {ns_step:.0f} ns/step"
+            f"  {ns_step / nodes_per_step:.0f} ns/node",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -65,3 +65,22 @@ class JsonlLogger:
     def close(self):
         if self._f:
             self._f.close()
+
+
+def runtime_flags() -> dict:
+    """Effective runtime configuration for self-describing bench artifacts.
+
+    Benchmark JSON must record what actually ran: the native C++ builder
+    loads lazily with a silent numpy fallback (accel/native.py), SBVH is
+    env-gated, and the Pallas kernels read a family of CRT_* tuning flags —
+    a committed number is meaningless without them (VERDICT r3 weak #7).
+    """
+    import os
+
+    from cpu_ray_tracer_tpu.accel import native
+
+    return {
+        "native": native.get_lib() is not None,
+        "sbvh": os.environ.get("CRT_SBVH", "0") == "1",
+        "crt_env": {k: v for k, v in os.environ.items() if k.startswith("CRT_")},
+    }

@@ -339,208 +339,6 @@ static int s_build(SCtx &c, std::vector<Ref> refs, int depth) {
                         ? half_area(olo, ohi)
                         : 0.0f;
     if (overlap / c.root_area > c.alpha && c.ids.size() + 2 * refs.size() < c.max_refs) {
-      // finer bins than the object sweep: with coarse bins most refs
-      // straddle every chop plane and the duplication cost swamps the
-      // area win (measured: 8 bins never choose a spatial split)
-      float no_split = count * half_area(nlo, nhi);
-    if (best_axis < 0 || best_cost >= no_split) {
-      if (c.force_split_cap > 0 && count > c.force_split_cap) {
-        do_median = true;
-      } else {
-        return;  // leaf (reference SAH no-gain stop)
-      }
-    }
-  } else {
-    V3 nlo{c.node_min[node * 3], c.node_min[node * 3 + 1], c.node_min[node * 3 + 2]};
-    V3 nhi{c.node_max[node * 3], c.node_max[node * 3 + 1], c.node_max[node * 3 + 2]};
-    V3 ext{nhi.x - nlo.x, nhi.y - nlo.y, nhi.z - nlo.z};
-    best_axis = 0;
-    if (ext.y > ext.x) best_axis = 1;
-    if (getc(ext, 2) > getc(ext, best_axis)) best_axis = 2;
-    split_pos = getc(nlo, best_axis) + getc(ext, best_axis) * 0.5f;
-  }
-
-  int left_count;
-  int32_t *ids = c.tri_indices + first;
-  if (do_median) {
-    V3 nlo{c.node_min[node * 3], c.node_min[node * 3 + 1], c.node_min[node * 3 + 2]};
-    V3 nhi{c.node_max[node * 3], c.node_max[node * 3 + 1], c.node_max[node * 3 + 2]};
-    V3 ext{nhi.x - nlo.x, nhi.y - nlo.y, nhi.z - nlo.z};
-    int a = 0;
-    if (ext.y > ext.x) a = 1;
-    if (getc(ext, 2) > getc(ext, a)) a = 2;
-    std::stable_sort(ids, ids + count, [&](int32_t p, int32_t q) {
-      return getc(c.cent[p], a) < getc(c.cent[q], a);
-    });
-    left_count = count / 2;
-  } else {
-    // in-place partition by centroid < split (stable variant)
-    std::stable_partition(ids, ids + count, [&](int32_t p) {
-      return getc(c.cent[p], best_axis) < split_pos;
-    });
-    left_count = 0;
-    for (int i = 0; i < count; i++)
-      if (getc(c.cent[ids[i]], best_axis) < split_pos) left_count++;
-    if (left_count == 0 || left_count == count) {
-      if (c.force_split_cap > 0 && count > c.force_split_cap) {
-        std::stable_sort(ids, ids + count, [&](int32_t p, int32_t q) {
-          return getc(c.cent[p], best_axis) < getc(c.cent[q], best_axis);
-        });
-        left_count = count / 2;
-      } else {
-        return;  // leaf (degenerate partition)
-      }
-    }
-  }
-
-  int li = c.nodes_used++;
-  int ri = c.nodes_used++;
-  c.left_first[li] = first;
-  c.tri_count[li] = left_count;
-  c.left_first[ri] = first + left_count;
-  c.tri_count[ri] = count - left_count;
-  c.left[node] = li;
-  c.right[node] = ri;
-  c.axis[node] = best_axis < 0 ? 0 : best_axis;
-  c.left_first[node] = li;
-  c.tri_count[node] = 0;
-  subdivide(c, li, depth + 1);
-  subdivide(c, ri, depth + 1);
-}
-
-// --------------------------------------------------------------------------
-// SBVH: binned-SAH build with SPATIAL SPLITS (Stich et al. 2009, box-chop
-// variant).  Straddling triangle REFERENCES are duplicated into both
-// children with their boxes clipped to the split plane, shrinking the
-// overlap between sibling boxes that inflates packet-traversal unions
-// (VERDICT r3 ask #2).  References (not triangles) are the build unit, so
-// leaf lists may repeat a triangle id — the packet kernel's running-min
-// test is idempotent, and pack_tri_rows handles duplicate ids natively.
-
-struct Ref {
-  int32_t tri;
-  V3 lo, hi;
-};
-
-struct SCtx {
-  std::vector<float> node_min, node_max;
-  std::vector<int32_t> left_first, tri_count, left, right, axis, ids;
-  int bins = 8, leaf_target = 8;
-  float alpha = 1e-5f;  // spatial splits only where overlap/root_area > alpha
-  float root_area = 1.0f;
-  size_t max_refs = 0;
-  int max_depth = 0;
-};
-
-static int s_new_node(SCtx &c, const V3 &lo, const V3 &hi) {
-  c.node_min.insert(c.node_min.end(), {lo.x, lo.y, lo.z});
-  c.node_max.insert(c.node_max.end(), {hi.x, hi.y, hi.z});
-  c.left_first.push_back(0);
-  c.tri_count.push_back(0);
-  c.left.push_back(-1);
-  c.right.push_back(-1);
-  c.axis.push_back(0);
-  return (int)c.left.size() - 1;
-}
-
-static void ref_bounds(const std::vector<Ref> &refs, V3 &lo, V3 &hi) {
-  lo = {1e30f, 1e30f, 1e30f};
-  hi = {-1e30f, -1e30f, -1e30f};
-  for (const Ref &r : refs) {
-    lo = vmin(lo, r.lo);
-    hi = vmax(hi, r.hi);
-  }
-}
-
-static int s_build(SCtx &c, std::vector<Ref> refs, int depth) {
-  V3 nlo, nhi;
-  ref_bounds(refs, nlo, nhi);
-  int node = s_new_node(c, nlo, nhi);
-  if (depth > c.max_depth) c.max_depth = depth;
-  int count = (int)refs.size();
-
-  auto emit_leaf = [&]() {
-    c.left_first[node] = (int)c.ids.size();
-    c.tri_count[node] = count;
-    for (const Ref &r : refs) c.ids.push_back(r.tri);
-    return node;
-  };
-  if (count <= c.leaf_target || depth >= 60) return emit_leaf();
-
-  // ---- best OBJECT split (binned SAH over reference-box centroids) ----
-  float best_obj = 1e30f;
-  int obj_axis = -1;
-  float obj_pos = 0.0f;
-  for (int a = 0; a < 3; a++) {
-    float cmin = 1e30f, cmax = -1e30f;
-    for (const Ref &r : refs) {
-      float v = (getc(r.lo, a) + getc(r.hi, a)) * 0.5f;
-      cmin = std::min(cmin, v);
-      cmax = std::max(cmax, v);
-    }
-    if (cmin == cmax) continue;
-    std::vector<Bin> bins((size_t)c.bins);
-    float scale = c.bins / (cmax - cmin);
-    for (const Ref &r : refs) {
-      float v = (getc(r.lo, a) + getc(r.hi, a)) * 0.5f;
-      int b = std::min(c.bins - 1, (int)((v - cmin) * scale));
-      bins[b].count++;
-      bins[b].lo = vmin(bins[b].lo, r.lo);
-      bins[b].hi = vmax(bins[b].hi, r.hi);
-    }
-    V3 llo{1e30f, 1e30f, 1e30f}, lhi{-1e30f, -1e30f, -1e30f};
-    std::vector<float> larea(c.bins);
-    std::vector<int> lcount(c.bins);
-    int s = 0;
-    for (int i = 0; i < c.bins; i++) {
-      s += bins[i].count;
-      lcount[i] = s;
-      if (bins[i].count) {
-        llo = vmin(llo, bins[i].lo);
-        lhi = vmax(lhi, bins[i].hi);
-      }
-      larea[i] = s ? half_area(llo, lhi) : 0.0f;
-    }
-    V3 rlo{1e30f, 1e30f, 1e30f}, rhi{-1e30f, -1e30f, -1e30f};
-    int rs = 0;
-    for (int i = c.bins - 1; i >= 1; i--) {
-      rs += bins[i].count;
-      if (bins[i].count) {
-        rlo = vmin(rlo, bins[i].lo);
-        rhi = vmax(rhi, bins[i].hi);
-      }
-      float cost = lcount[i - 1] * larea[i - 1] + rs * half_area(rlo, rhi);
-      if (rs && lcount[i - 1] && cost < best_obj) {
-        best_obj = cost;
-        obj_axis = a;
-        obj_pos = cmin + (cmax - cmin) / c.bins * i;
-      }
-    }
-  }
-
-  // ---- overlap test: consider SPATIAL split only where siblings overlap
-  float best_spat = 1e30f;
-  int sp_axis = -1;
-  float sp_pos = 0.0f;
-  if (obj_axis >= 0) {
-    // sibling overlap of the chosen object split
-    V3 llo{1e30f, 1e30f, 1e30f}, lhi{-1e30f, -1e30f, -1e30f};
-    V3 rlo{1e30f, 1e30f, 1e30f}, rhi{-1e30f, -1e30f, -1e30f};
-    for (const Ref &r : refs) {
-      float v = (getc(r.lo, obj_axis) + getc(r.hi, obj_axis)) * 0.5f;
-      if (v < obj_pos) {
-        llo = vmin(llo, r.lo);
-        lhi = vmax(lhi, r.hi);
-      } else {
-        rlo = vmin(rlo, r.lo);
-        rhi = vmax(rhi, r.hi);
-      }
-    }
-    V3 olo = vmax(llo, rlo), ohi = vmin(lhi, rhi);
-    float overlap = (ohi.x > olo.x && ohi.y > olo.y && ohi.z > olo.z)
-                        ? half_area(olo, ohi)
-                        : 0.0f;
-    if (overlap / c.root_area > c.alpha && c.ids.size() + 2 * refs.size() < c.max_refs) {
       // chop-bin count: 4x finer bins measured SLOWER end-to-end on the
       // headline scene (12.56 vs 12.79 Mrays/s — extra refs cost more leaf
       // rows than the tighter boxes save), so the spatial sweep uses the
