@@ -207,29 +207,42 @@ def config5(small):
     mesh = make_mesh()
     scene = replicate_scene(scene, mesh)
 
-    target, _ = pathtracer.render_pass_jit(scene, cam, jnp.uint32(999), depth_limit=2)
-    params = grad_mod.extract_params(scene, keys=("albedo", "light_color"))
+    # Common-random-numbers objective (VERDICT r3 ask #4): K target images
+    # are rendered at the TRUE parameters with seeds 0..K-1; training step i
+    # re-renders with seed i%K and compares against target i%K — identical
+    # RNG streams make each per-seed objective deterministic with a zero at
+    # the true parameters, so the loss trace shows real convergence instead
+    # of fresh-MC-noise draws.  Targets use differentiable=True so the
+    # candidate and target go through the SAME numeric path.
+    n_crn = 2 if small else 4
+    targets = jnp.stack([
+        pathtracer.render_pass_jit(
+            scene, cam, jnp.uint32(k), depth_limit=2, differentiable=True
+        )[0]
+        for k in range(n_crn)
+    ])
+    # BASELINE config 5 says "optimize materials/textures": texels included
+    params = grad_mod.extract_params(scene, keys=("albedo", "light_color", "texels"))
     params = {k: v * 0.5 for k, v in params.items()}  # perturb
-    # lr 0.02: 0.05 Adam overshot on the full 20-step run (the per-step MC
-    # seed makes the objective noisy; r3 TPU run rose 1.59 -> 1.62)
     opt = optax.adam(0.02)
     opt_state = opt.init(params)
-    step = make_sharded_train_step(scene, cam, target, opt, mesh, depth_limit=2)(params)
+    step = make_sharded_train_step(scene, cam, targets, opt, mesh, depth_limit=2)(params)
     t0 = time.perf_counter()
     losses = []
-    for i in range(5 if small else 20):
+    for i in range(6 if small else 60):
         params, opt_state, loss = step(params, opt_state, jnp.uint32(i))
         losses.append(float(loss))
     dt = time.perf_counter() - t0
-    # noise-robust convergence: mean of the first vs last k losses (each
-    # step uses a fresh MC seed, so single endpoints are noisy draws)
-    k = max(1, len(losses) // 4)
-    head = sum(losses[:k]) / k
-    tail = sum(losses[-k:]) / k
+    # per-seed objectives differ in magnitude, so the honest endpoints are
+    # full-CRN-cycle means (one visit of every seed) at the start and end
+    head = sum(losses[:n_crn]) / n_crn
+    tail = sum(losses[-n_crn:]) / n_crn
     _emit(5, scene=info.name, devices=n_dev, steps=len(losses), seconds=dt,
-          loss_first=losses[0], loss_last=losses[-1],
-          loss_head_mean=head, loss_tail_mean=tail,
-          converging=tail < head)
+          loss_first=head, loss_last=tail,
+          loss_first_step=losses[0], loss_last_step=losses[-1],
+          crn_targets=n_crn, optimized=sorted(params.keys()),
+          converging=tail < 0.5 * head,
+          losses=[round(x, 5) for x in losses])
 
 
 def main():

@@ -57,13 +57,22 @@ def make_sharded_train_step(
 ):
     """Multi-device train step: pixels sharded over `axis`, scene+params
     replicated, per-shard parameter grads psum-reduced inside shard_map (the
-    all-reduce overlaps the backward pass under XLA latency hiding)."""
+    all-reduce overlaps the backward pass under XLA latency hiding).
+
+    `target` is either one [H, W, 3] image, or a [K, H, W, 3] stack for
+    common-random-numbers training: step `spp_index` then compares against
+    target `spp_index % K` while drawing the SAME per-pixel RNG streams the
+    target render at that index used, so the per-step objective is
+    deterministic (zero at the true parameters) instead of a fresh-MC-noise
+    draw — convergence becomes provable rather than arguable."""
     n = camera.width * camera.height
     n_dev = mesh.devices.size
     assert n % n_dev == 0
 
     scene_spec = jax.tree.map(lambda _: P(), scene)
-    target_flat = target.reshape(n, 3)
+    crn = target.ndim == 4
+    target_flat = target.reshape((-1, n, 3) if crn else (n, 3))
+    n_targets = target_flat.shape[0] if crn else 1
 
     def shard_loss(params, scene_rep, o, d, seeds, tgt):
         s = grad_mod.apply_params(scene_rep, params)
@@ -91,12 +100,18 @@ def make_sharded_train_step(
 
         @jax.jit
         def step(params, opt_state, spp_index):
+            spp_index = jnp.asarray(spp_index, jnp.uint32)
+            if crn:
+                spp_index = spp_index % jnp.uint32(n_targets)
+                tgt = jnp.take(target_flat, spp_index.astype(jnp.int32), axis=0)
+            else:
+                tgt = target_flat
             pixel_ids = jnp.arange(n, dtype=jnp.uint32)
             seeds = rng_mod.pixel_seeds(pixel_ids, spp_index)
             seeds, jx = rng_mod.random_float(seeds)
             seeds, jy = rng_mod.random_float(seeds)
             rays = full_frame_rays(camera, jitter_x=jx, jitter_y=jy)
-            loss, grads = grad_shard(params, scene, rays.o, rays.d, seeds, target_flat)
+            loss, grads = grad_shard(params, scene, rays.o, rays.d, seeds, tgt)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
