@@ -56,16 +56,25 @@ def main():
     db = db / jnp.linalg.norm(db, axis=-1, keepdims=True)
     ob = o + 2.0 * d  # points inside the scene-ish
 
-    def timed(fn, *a, **kw):
-        out = fn(*a, **kw)  # compile + warmup
-        out["t"].block_until_ready()
-        best = 1e30
-        for _ in range(args.iters):
+    def timed(fn, *a):
+        # chained steady-state timing: per-call block_until_ready measures
+        # the tunnel's dispatch latency (tens of ms), not the kernel — chain
+        # scalar-returning calls and read back ONCE (see profile_d0.timeit).
+        # TWO passes, keep the second: the first chained measurement of a
+        # process reads ~6x inflated on this tunneled device (r4 finding —
+        # a whole kernel rewrite was nearly misjudged from it).
+        f = jax.jit(lambda *aa: fn(*aa)["t"].sum())
+        acc = f(*a)
+        jax.block_until_ready(acc)
+        dt = 1e30
+        for _ in range(2):
             t1 = time.perf_counter()
-            out = fn(*a, **kw)
-            out["t"].block_until_ready()
-            best = min(best, time.perf_counter() - t1)
-        return best
+            acc = jnp.float32(0.0)
+            for _ in range(args.iters):
+                acc = acc + f(*a)
+            float(acc)
+            dt = min(dt, (time.perf_counter() - t1) / args.iters)
+        return dt
 
     results = {}
     kernels = args.kernels.split(",")

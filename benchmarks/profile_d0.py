@@ -33,15 +33,19 @@ def log(*a):
 
 
 def timeit(name, f, *args, reps=16):
-    """f must return a scalar; reps chained then one readback."""
+    """f must return a scalar; reps chained then one readback.  Two passes,
+    keep the faster — the first chained measurement of a process reads
+    several-fold inflated on the tunneled device (r4 finding)."""
     x = f(*args)
     jax.block_until_ready(x)
-    t = time.time()
-    acc = 0.0
-    for _ in range(reps):
-        acc = acc + f(*args)
-    float(jnp.asarray(acc))
-    dt = (time.time() - t) / reps
+    dt = 1e30
+    for _ in range(2):
+        t = time.time()
+        acc = 0.0
+        for _ in range(reps):
+            acc = acc + f(*args)
+        float(jnp.asarray(acc))
+        dt = min(dt, (time.time() - t) / reps)
     log(name, round(dt * 1000, 2), "ms")
     return dt
 

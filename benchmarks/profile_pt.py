@@ -32,7 +32,9 @@ def log(*a):
 def timeit(name, f, *args, reps=8):
     """Chained steady-state timing: N back-to-back calls then one scalar
     readback.  Single-call timing on the tunneled runtime measures
-    idle-slow-mode dispatch latency (3-40 ms), not the op."""
+    idle-slow-mode dispatch latency (3-40 ms), not the op.  Two passes,
+    keep the faster — the first chained measurement of a process reads
+    several-fold inflated on the tunneled device (r4 finding)."""
     x = f(*args)
     jax.block_until_ready(x)
     g = jax.jit(lambda v: v * 1.000001)
@@ -40,11 +42,13 @@ def timeit(name, f, *args, reps=8):
     for _ in range(60):
         y = g(y)
     float(y)
-    t = time.time()
-    for _ in range(reps):
-        x = f(*args)
-    float(jnp.asarray(x).sum())
-    dt = (time.time() - t) / reps
+    dt = 1e30
+    for _ in range(2):
+        t = time.time()
+        for _ in range(reps):
+            x = f(*args)
+        float(jnp.asarray(x).sum())
+        dt = min(dt, (time.time() - t) / reps)
     log(name, round(dt * 1000, 1), "ms")
     return dt
 

@@ -54,7 +54,7 @@ N_TILES = 225  # 1280*720 / 4096
 
 def make_kernel(variant: str):
     def kernel(aabb_ref, links_ref, ox_ref, oy_ref, oz_ref,
-               dx_ref, dy_ref, dz_ref, out_ref):
+               dx_ref, dy_ref, dz_ref, out_ref, stack_smem):
         ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
         dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
         rdx, rdy, rdz = 1.0 / dx, 1.0 / dy, 1.0 / dz
@@ -173,6 +173,72 @@ def make_kernel(variant: str):
             step, cur, acc = jax.lax.while_loop(
                 lambda c: c[0] < STEPS, body, carry)
             out_ref[0] = acc + jnp.float32(cur)
+        elif variant.startswith("F"):
+            # Wide-walk step models (r4): E8's 8 slabs + 8 pipelined reduces
+            # PLUS the structural extras the real wide kernel carries, added
+            # one at a time to find where its measured 4.4 us/step hides:
+            #   F0: + 8 predicated SMEM stack stores + pop (no leaf work)
+            #   F1: F0 + leaf lax.cond wrapping a 2-row traced fori of real
+            #       Möller–Trumbore rows on a dummy tri row (taken ~always)
+            #   F2: F0 + the same fori WITHOUT the cond
+            sub = variant[1:]
+
+            def body(c):
+                step, cur, sp, acc, t = c
+                node = jnp.maximum(cur, 0)
+                hits = []
+                for k in range(8):
+                    nk = (node + k) & 1023
+                    lane_hit = slab(nk) & (t < 1e30 + jnp.float32(step))
+                    hits.append(jnp.sum(lane_hit.astype(jnp.int32)))
+                bits = jnp.int32(0)
+                for k, s in enumerate(hits):
+                    bits = bits | (jnp.where(s > 0, 1, 0) << k)
+
+                if sub in ("1", "2"):
+                    def leaf(args):
+                        def row_body(i, a):
+                            acc, t = a
+                            # MT-row-shaped vector work (16 fmas + selects)
+                            tt = acc * 1.0000001 + jnp.float32(i)
+                            ok = tt < t
+                            t = jnp.where(ok, tt, t)
+                            return acc + tt, t
+                        return jax.lax.fori_loop(
+                            args[2], args[3], row_body, (args[0], args[1])
+                        )
+                    lo = jnp.where((bits & 3) > 0, node & 7, jnp.int32(9))
+                    hi = jnp.where((bits & 3) > 0, (node & 7) + 2, jnp.int32(0))
+                    if sub == "1":
+                        acc, t = jax.lax.cond(
+                            hi > lo, leaf, lambda a: (a[0], a[1]),
+                            (acc, t, lo, hi),
+                        )
+                    else:
+                        acc, t = leaf((acc, t, jnp.minimum(lo, hi), hi))
+
+                # 8 predicated pushes + pop, exactly the wide kernel's shape
+                spm = sp
+                for k in range(8):
+                    m_k = links_ref[0, 0, (node + k) & 1023]
+                    push = ((bits >> k) & 1) > 0
+                    stack_smem[spm] = m_k
+                    spm = spm + push.astype(jnp.int32)
+                spm = jnp.maximum(spm - 1, 0)
+                cur = jnp.where(
+                    cur < 0, cur, stack_smem[jnp.maximum(spm - 1, 0)] & 1023
+                )
+                return step + 1, cur, spm & 63, acc, t
+
+            def kern_body(c):
+                return body(c)
+
+            carry = (jnp.int32(0), jnp.int32(0), jnp.int32(1),
+                     jnp.zeros(TILE_SHAPE, jnp.float32),
+                     jnp.full(TILE_SHAPE, 1e30, jnp.float32))
+            step, cur, sp, acc, t = jax.lax.while_loop(
+                lambda c: c[0] < STEPS, kern_body, carry)
+            out_ref[0] = acc + t + jnp.float32(cur + sp)
         elif variant == "D":
             def body(c):
                 step, cur, acc = c
@@ -218,6 +284,7 @@ def run(aabb, links, comps, variant):
         out_shape=jax.ShapeDtypeStruct((N_TILES, *TILE_SHAPE), jnp.float32),
         in_specs=[smem_spec, smem_spec] + [tile_spec] * 6,
         out_specs=tile_spec,
+        scratch_shapes=[pltpu.SMEM((128,), jnp.int32)],
     )(aabb, links, *comps)
 
 
@@ -256,12 +323,16 @@ def main():
         x = run(aabb, links, comps, variant)
         jax.block_until_ready(x)
         warm()
-        t0 = time.time()
-        reps = 10
-        for _ in range(reps):
-            x = run(aabb, links, comps, variant)
-        float(jnp.asarray(x).sum())
-        dt = (time.time() - t0) / reps
+        # two timing passes, keep the faster: the FIRST chained measurement
+        # in a process reads several-fold inflated on the tunneled device
+        dt = 1e30
+        for _ in range(2):
+            t0 = time.time()
+            reps = 10
+            for _ in range(reps):
+                x = run(aabb, links, comps, variant)
+            float(jnp.asarray(x).sum())
+            dt = min(dt, (time.time() - t0) / reps)
         ns_step = dt * 1e9 / (N_TILES * STEPS)
         # E variants slab-test 8 nodes per counted step; A-D test one —
         # ns/node is the cross-variant-comparable figure

@@ -36,6 +36,7 @@ from flax import struct
 import jax.numpy as jnp
 
 from cpu_ray_tracer_tpu.accel.pack import (
+    TRI_F,
     TRIS_PER_ROW,
     make_slot_meta,
     pack_tri_rows,
@@ -49,13 +50,33 @@ META_PTR_MASK = (1 << META_NROWS_SHIFT) - 1
 
 @struct.dataclass
 class PackedWideBVH:
-    node_rows: jnp.ndarray  # [8, W, 128] f32 — per-octant wide-node rows
-    meta: jnp.ndarray  # [8 * W * 8] i32 — per-octant child metadata (SMEM)
-    tri_rows: jnp.ndarray  # [R_t, 128] f32 — shared leaf triangle rows
-    slot_tri: jnp.ndarray  # [R_t * 8] i32
+    """SMEM-scalar-table layout for the wide packet kernel (r4).
+
+    The r1-r3 wide kernel fetched each node as a 128-lane VMEM row and paid
+    48 vector->scalar lane extracts per step — measured SLOWER than the
+    binary walk.  The r4 sync-probe E variants showed the real budget: 8
+    slab tests of 8 DIFFERENT nodes decided by independent vector->scalar
+    reduces cost ~46 ns/node (they pipeline), vs 217 ns/node for the
+    production one-reduce-per-step chain.  So nodes now live in SMEM scalar
+    tables like the binary kernel's, one step covers all 8 children of one
+    wide node, and the 8 reduces are issued back-to-back before any is
+    consumed."""
+
+    # SMEM scalar tables (octant-independent; traversal ORDER is the only
+    # octant-dependent part and rides the packed permutation word):
+    aabb48: jnp.ndarray = None  # f32 [48, W]: child k bmin xyz / bmax xyz at rows 6k..6k+5 (NaN = empty slot)
+    cmeta: jnp.ndarray = None  # i32 [8, W]: 0 empty | wide child id (interior) | tri_row_start | nrows << 22 (leaf)
+    orderw: jnp.ndarray = None  # i32 [8, W]: per-octant near-first slot permutation, rank r at bits 3r..3r+2
+    tri_rows: jnp.ndarray = None  # [R_t, 128] f32 — leaf triangle rows, grouped per wide node
+    slot_tri: jnp.ndarray = None  # [R_t * 8] i32
+    # [R_t, 128] f32 per-slot shading records (n0 n1 n2, uv0 uv1 uv2, lane
+    # 15 = bitcast meta when meta_in_shade) — same contract as PackedBVH
+    tri_shade_rows: jnp.ndarray = None
     slot_meta: jnp.ndarray = None  # fused (tri, obj, mat) decode table
+    meta_in_shade: bool = struct.field(pytree_node=False, default=False)
     num_wide: int = struct.field(pytree_node=False, default=0)
     max_stack: int = struct.field(pytree_node=False, default=64)
+    stack_roots: tuple = struct.field(pytree_node=False, default=(0,))
     world_min: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
     world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
 
@@ -296,57 +317,100 @@ def pack_wide_host(
     root: int,
     obj_id: np.ndarray | None = None,
     mat_id: np.ndarray | None = None,
+    shade16: np.ndarray | None = None,
 ) -> PackedWideBVH:
     """Collapse + pack a binary host BVH (possibly a fused TLAS forest with a
-    single root) for the wide kernel.  All numpy — never touches the device
-    until the final `jnp.asarray` uploads (host->device is the fast
-    direction on tunneled TPUs)."""
+    single root) into the SMEM-scalar-table wide layout.  All numpy — never
+    touches the device until the final `jnp.asarray` uploads (host->device
+    is the fast direction on tunneled TPUs).
+
+    Leaf triangle rows are grouped CONTIGUOUSLY per owning wide node so the
+    kernel can run one combined row loop over [min, max) of the hit leaf
+    children instead of one data-dependent loop per child."""
     wide, depth = collapse_wide(left, right, tri_count, node_min, node_max, root)
     w = len(wide)
+    if w >= (1 << META_NROWS_SHIFT):
+        raise ValueError(f"{w} wide nodes >= 2^{META_NROWS_SHIFT}")
 
-    tri_rows, _, slot_tri, leaf_row_start, leaf_nrows = pack_tri_rows(
-        left_first, tri_count, tri_indices, tri_v0, tri_e1, tri_e2
+    # --- per-wide-node grouped leaf rows ---------------------------------
+    rows_chunks, shade_chunks, slot_chunks = [], [], []
+    leaf_pos = {}  # (wi, slot) -> (start_row, nrows)
+    row = 0
+    for wi, kids in enumerate(wide):
+        for slot, (bin_id, wide_child) in enumerate(kids):
+            if wide_child >= 0 or tri_count[bin_id] == 0:
+                continue
+            f = int(left_first[bin_id])
+            c = int(tri_count[bin_id])
+            nrows = (c + TRIS_PER_ROW - 1) // TRIS_PER_ROW
+            if nrows >= (1 << (31 - META_NROWS_SHIFT)):
+                raise ValueError(f"leaf with {c} tris exceeds wide nrows field")
+            rr = np.zeros((nrows, 128), np.float32)
+            sh = np.zeros((nrows, 128), np.float32) if shade16 is not None else None
+            st = np.full(nrows * TRIS_PER_ROW, -1, np.int32)
+            for k in range(c):
+                tid = int(tri_indices[f + k])
+                r_, lane = k // TRIS_PER_ROW, (k % TRIS_PER_ROW) * TRI_F
+                rr[r_, lane : lane + 3] = tri_v0[tid]
+                rr[r_, lane + 3 : lane + 6] = tri_e1[tid]
+                rr[r_, lane + 6 : lane + 9] = tri_e2[tid]
+                if sh is not None:
+                    sh[r_, lane : lane + 16] = shade16[tid]
+                st[k] = tid
+            rows_chunks.append(rr)
+            if sh is not None:
+                shade_chunks.append(sh)
+            slot_chunks.append(st)
+            leaf_pos[(wi, slot)] = (row, nrows)
+            row += nrows
+    if not rows_chunks:
+        rows_chunks.append(np.zeros((1, 128), np.float32))
+        slot_chunks.append(np.full(TRIS_PER_ROW, -1, np.int32))
+        if shade16 is not None:
+            shade_chunks.append(np.zeros((1, 128), np.float32))
+    tri_rows = np.concatenate(rows_chunks, axis=0)
+    tri_shade_rows = (
+        np.concatenate(shade_chunks, axis=0) if shade16 is not None else None
     )
-    n_tri_rows = tri_rows.shape[0]
-    if n_tri_rows >= (1 << META_NROWS_SHIFT) or w >= (1 << META_NROWS_SHIFT):
-        raise ValueError(
-            f"scene too large for wide meta packing ({n_tri_rows} tri rows, "
-            f"{w} wide nodes >= 2^{META_NROWS_SHIFT})"
-        )
+    slot_tri = np.concatenate(slot_chunks)
+    if tri_rows.shape[0] >= (1 << META_NROWS_SHIFT):
+        raise ValueError(f"{tri_rows.shape[0]} tri rows >= 2^{META_NROWS_SHIFT}")
 
-    node_rows = np.zeros((8, w, 128), np.float32)
-    meta = np.zeros((8, w, WIDE), np.int32)
-    # Empty slots: NaN AABB.  NOT an inverted box — the kernel's slab test
-    # takes min/max of the two plane distances per axis, so an inverted box
-    # passes it like a huge box would.  NaN makes every comparison false, so
-    # the slab test genuinely fails; meta stays 0, which the kernel also
-    # treats as "never push" (real interior children are >= 1, real leaves
-    # have nrows bits set).
-    for a in range(6):
-        node_rows[:, :, a::CHILD_F] = np.nan
-
+    # --- SMEM node tables -------------------------------------------------
+    # Empty slots: NaN AABB (every slab comparison false — an inverted box
+    # would PASS the min/max slab test like a huge box); cmeta 0.
+    aabb48 = np.full((6 * WIDE, w), np.nan, np.float32)
+    cmeta = np.zeros((WIDE, w), np.int32)
+    orderw = np.zeros((8, w), np.int32)
     for wi, kids in enumerate(wide):
         ids = np.array([c[0] for c in kids], np.int64)
         centers = (node_min[ids] + node_max[ids]) * 0.5
+        for slot, (bin_id, wide_child) in enumerate(kids):
+            aabb48[6 * slot : 6 * slot + 3, wi] = node_min[bin_id]
+            aabb48[6 * slot + 3 : 6 * slot + 6, wi] = node_max[bin_id]
+            if wide_child >= 0:
+                cmeta[slot, wi] = wide_child
+            else:
+                st, nr = leaf_pos[(wi, slot)]
+                cmeta[slot, wi] = st | (nr << META_NROWS_SHIFT)
         for o in range(8):
             order = _octant_order(centers, o)
-            for slot, j in enumerate(order):
-                bin_id, wide_child = kids[j]
-                lane = slot * CHILD_F
-                node_rows[o, wi, lane + 0 : lane + 3] = node_min[bin_id]
-                node_rows[o, wi, lane + 3 : lane + 6] = node_max[bin_id]
-                if wide_child >= 0:
-                    meta[o, wi, slot] = wide_child
-                else:
-                    meta[o, wi, slot] = int(leaf_row_start[bin_id]) | (
-                        int(leaf_nrows[bin_id]) << META_NROWS_SHIFT
-                    )
+            word = 0
+            for rank, slot in enumerate(order):
+                word |= int(slot) << (3 * rank)
+            # unfilled ranks (fewer than 8 children) point at slot 0 —
+            # harmless: its hit bit gates the push and empties never hit
+            orderw[o, wi] = word
 
     pk = PackedWideBVH(
-        node_rows=jnp.asarray(node_rows),
-        meta=jnp.asarray(meta.reshape(-1)),
+        aabb48=jnp.asarray(aabb48),
+        cmeta=jnp.asarray(cmeta),
+        orderw=jnp.asarray(orderw),
         tri_rows=jnp.asarray(tri_rows),
         slot_tri=jnp.asarray(slot_tri),
+        tri_shade_rows=(
+            jnp.asarray(tri_shade_rows) if tri_shade_rows is not None else None
+        ),
         num_wide=w,
         # worst case one wide node pushes width-1 extra entries per level
         max_stack=max(8 * (depth + 2), 64),

@@ -404,6 +404,25 @@ def compile_scene(
             from cpu_ray_tracer_tpu.accel import wide as wide_mod
 
             try:
+                # same fused ids+shade record as the binary pack: lane 15 of
+                # the shading row carries the bitcast meta word when the ids
+                # fit (tri 20 / obj 6 / mat 5 bits — see pack.make_slot_meta)
+                obj_arr = np.concatenate(inst_obj, axis=0)
+                n_tris_w = v0h.shape[0]
+                ids_ok = (
+                    n_tris_w < (1 << 20)
+                    and obj_arr.max(initial=0) < (1 << 6)
+                    and mat_arr.max(initial=0) < (1 << 5)
+                )
+                shade16w = shade16
+                if ids_ok:
+                    tri_meta = (
+                        np.arange(n_tris_w, dtype=np.int32)
+                        | (obj_arr.astype(np.int32) << 20)
+                        | (mat_arr.astype(np.int32) << 26)
+                    )
+                    shade16w = np.ascontiguousarray(shade16, np.float32).copy()
+                    shade16w.view(np.int32)[:, 15] = tri_meta
                 packed_wide = wide_mod.pack_wide_host(
                     host_pack["node_min"], host_pack["node_max"],
                     host_pack["left"], host_pack["right"],
@@ -411,12 +430,14 @@ def compile_scene(
                     host_pack["tri_indices"],
                     v0h, all_v[:, 1] - v0h, all_v[:, 2] - v0h,
                     host_pack["root"],
-                    obj_id=np.concatenate(inst_obj, axis=0),
+                    obj_id=obj_arr,
                     mat_id=mat_arr,
-                )
-                # child metadata lives in SMEM; past ~256KB fall back to the
+                    shade16=shade16w,
+                ).replace(meta_in_shade=ids_ok)
+                # SMEM node tables: 48 aabb f32 + 8 meta i32 + 8 order i32
+                # per wide node = 256 B; past the budget fall back to the
                 # binary packet kernel rather than risk a Mosaic OOM
-                if packed_wide.num_wide * 8 * 8 * 4 > 256 * 1024:
+                if packed_wide.num_wide * 256 > 400 * 1024:
                     packed_wide = None
             except ValueError:
                 packed_wide = None  # field-width overflow: binary fallback

@@ -191,9 +191,19 @@ class TestWideCollapse:
 
     def test_meta_and_rows_shapes(self, rng):
         _, _, _, pw = wide_scene(rng, 64)
-        assert pw.node_rows.shape[0] == 8
-        assert pw.node_rows.shape[1] == pw.num_wide
-        assert pw.meta.shape == (8 * pw.num_wide * 8,)
+        assert pw.aabb48.shape == (48, pw.num_wide)
+        assert pw.cmeta.shape == (8, pw.num_wide)
+        assert pw.orderw.shape == (8, pw.num_wide)
+        # every orderw word is a permutation of slots 0..7
+        ow = np.asarray(pw.orderw)
+        slots = (ow[..., None] >> (3 * np.arange(8))) & 7
+        filled = np.asarray(pw.cmeta).T > 0  # [W, 8] real children
+        for o in range(8):
+            for wi in range(pw.num_wide):
+                ranks = set(slots[o, wi].tolist())
+                # real child slots must all appear in the permutation
+                need = set(np.where(filled[wi])[0].tolist())
+                assert need <= ranks
 
 
 class TestWideKernelInterpret:
