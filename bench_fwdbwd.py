@@ -55,9 +55,17 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", STEPS))
     depth_limit = int(os.environ.get("BENCH_DEPTH", DEPTH_LIMIT))
     out_path = os.environ.get("BENCH_OUT", "")
+    # BENCH_BILINEAR=1: texture-LEARNING mode — bilinear taps through the
+    # rank-1 custom-VJP texel gather (core/textures._gather_rgb), so the
+    # `texels` leaf receives real gradients (VERDICT r3 ask #3); optionally
+    # BENCH_FD=1 validates the largest texel gradient against a central
+    # finite difference at full bench scale.
+    bilinear = os.environ.get("BENCH_BILINEAR", "0") == "1"
+    run_fd = os.environ.get("BENCH_FD", "0") == "1"
 
     scene, info = compile_scene(
-        os.path.join(REPO, "assets", "scenes", "bunny_teapot.xml"), layout="tlas"
+        os.path.join(REPO, "assets", "scenes", "bunny_teapot.xml"),
+        layout="tlas", bilinear=bilinear,
     )
     camera = cam_mod.make_camera(width, height, pos=(0.0, 0.3, -1.2), target=(0.0, -0.1, 2.5))
     params = grad_mod.extract_params(scene, keys=grad_mod.PARAM_KEYS)
@@ -94,6 +102,41 @@ def main():
 
     total_rays = float(nrays)
     rays_per_s = total_rays / dt
+
+    texel_note = "zero in this parity-tap mode; see module docstring"
+    fd_detail = None
+    if bilinear:
+        grads_fn = jax.jit(jax.grad(lambda p, sc, tg, i: loss_fn(p, sc, tg, i)[0]))
+        g = grads_fn(params, scene, target, jnp.uint32(1))
+        g_tex = jax.device_get(g["texels"])
+        import numpy as np
+
+        texel_note = (
+            f"bilinear: nonzero ({int((np.abs(g_tex) > 0).sum())} texel-channels), "
+            f"max |g| {float(np.abs(g_tex).max()):.3e}"
+        )
+        if run_fd:
+            flat = np.abs(g_tex).reshape(-1)
+            idx = int(flat.argmax())
+            eps = 0.05
+
+            def loss_at(delta):
+                p = dict(params)
+                tex = p["texels"].reshape(-1).at[idx].add(delta).reshape(
+                    p["texels"].shape
+                )
+                p = {**p, "texels": tex}
+                l, _ = jax.jit(loss_fn)(p, scene, target, jnp.uint32(1))
+                return float(l)
+
+            fd = (loss_at(+eps) - loss_at(-eps)) / (2 * eps)
+            an = float(g_tex.reshape(-1)[idx])
+            fd_detail = {
+                "texel_index": idx,
+                "analytic": an,
+                "finite_difference": fd,
+                "rel_err": abs(an - fd) / max(abs(fd), 1e-12),
+            }
     # fwd+bwd relative to the committed FORWARD headline (BENCH json), so the
     # ratio reads "backward costs X of forward" instead of inventing a target
     fwd = None
@@ -120,7 +163,9 @@ def main():
             "total_rays": total_rays,
             "triangles": info.triangle_count,
             "param_leaves": len(jax.tree.leaves(params)),
-            "texel_grads": "zero in this parity-tap mode; see module docstring",
+            "bilinear": bilinear,
+            "texel_grads": texel_note,
+            "texel_fd_check": fd_detail,
             "device": str(jax.devices()[0]),
             **runtime_flags(),
         },

@@ -92,8 +92,7 @@ def single():
 
     cfg = {k: os.environ.get(k, "") for k in (
         "CRT_PACKET_TILE", "CRT_PACKET_GROUPS", "CRT_PACKET_UNROLL",
-        "CRT_SMEM_NODES", "CRT_WIDE", "CRT_SUBLANE", "CRT_SUBLANE_BLOCKS",
-        "CRT_SORT_DIRBITS")}
+        "CRT_SMEM_NODES", "CRT_WIDE", "CRT_SORT_DIRBITS")}
     print(json.dumps(dict(
         cfg=cfg,
         sorted_bounce_ms=round(float(ms), 2),
@@ -108,7 +107,7 @@ def single():
 
 def sweep():
     cfgs = [
-        {"CRT_SUBLANE": "1"},  # v2: sequential blocks + multipop 4
+        {"CRT_WIDE": "1"},  # r4 SMEM-table wide kernel
         {},  # binary packet kernel, TILE 4096 default
         {"CRT_PACKET_GROUPS": "2"},
         {"CRT_PACKET_GROUPS": "4"},

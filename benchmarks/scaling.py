@@ -28,6 +28,78 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def run_pinned(args):
+    """Per-device core pinning: each device count runs in a fresh process
+    whose CPU affinity is exactly `n_dev` physical cores, so 1, 2 and 4
+    virtual devices all get one core each and the efficiency curve isolates
+    the sharded program from host oversubscription."""
+    import multiprocessing
+    import subprocess
+
+    ncores = multiprocessing.cpu_count()
+    lines = []
+
+    def emit(rec):
+        line = json.dumps(rec)
+        print(line, flush=True)
+        lines.append(line)
+
+    emit(dict(
+        meta="scaling harness r4 (pinned)",
+        host_cpus=ncores,
+        note=(
+            "each device count runs in a subprocess pinned to n_dev cores "
+            "(one core per virtual device); efficiency vs the 1-device/"
+            "1-core baseline attributes remaining loss to the sharded "
+            "program itself"
+        ),
+    ))
+    results = {}
+    failures = []
+    for n_dev in [int(x) for x in args.devices.split(",")]:
+        if n_dev > ncores:
+            emit(dict(devices=n_dev, skipped=f"needs {n_dev} cores, host has {ncores}"))
+            continue
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n_dev}"
+        ).strip()
+        cmd = [
+            "taskset", "-c", ",".join(str(c) for c in range(n_dev)),
+            sys.executable, os.path.abspath(__file__),
+            "--single", str(n_dev), "--cpu",
+            "--width", str(args.width), "--height", str(args.height),
+            "--passes", str(args.passes), "--agree", str(args.agree),
+            "--max-tries", str(args.max_tries),
+        ]
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        rec = None
+        for ln in out.stdout.splitlines():
+            try:
+                cand = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if cand.get("devices") == n_dev and "primary_rays_s" in cand:
+                rec = cand
+        if rec is None:
+            failures.append(f"{n_dev} devices: no measurement (rc={out.returncode})")
+            emit(dict(devices=n_dev, error=out.stderr[-400:]))
+            continue
+        results[n_dev] = rec["primary_rays_s"]
+        rec["cores"] = n_dev
+        rec["efficiency"] = (
+            results[n_dev] / (results[1] * n_dev) if 1 in results else None
+        )
+        emit(rec)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    if failures:
+        print("PINNED SCALING FAILURE:", "; ".join(failures), file=sys.stderr)
+        return 1
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", default="1,2,4,8")
@@ -39,7 +111,20 @@ def main():
                     help="required relative agreement of two consecutive timings")
     ap.add_argument("--max-tries", type=int, default=8)
     ap.add_argument("--out", default="")
+    ap.add_argument("--pin", action="store_true", help=(
+        "isolate shard_map overhead from host contention (VERDICT r3 ask "
+        "#5): run each device count in a SUBPROCESS pinned to exactly one "
+        "physical core per virtual device, so every row has the same "
+        "cores-per-device ratio and the remaining efficiency loss is the "
+        "program's, not oversubscription"))
+    ap.add_argument("--single", type=int, default=0,
+                    help="internal: measure ONE device count in this process")
     args = ap.parse_args()
+
+    if args.pin:
+        return run_pinned(args)
+    if args.single:
+        args.devices = str(args.single)
     if args.cpu:
         import jax
 
@@ -120,7 +205,10 @@ def main():
         if eff > 1.05:
             failures.append(f"{n_dev} devices: super-linear efficiency {eff:.2f}")
 
-    # monotonicity: efficiency may only decay (small tolerance for noise)
+    # monotonicity: efficiency may only decay (small tolerance for noise);
+    # single-count subprocess runs have no 1-device baseline to check against
+    if args.single or 1 not in results:
+        return 0
     devs = sorted(results)
     effs = [results[d] / (results[1] * d) for d in devs]
     for a, b, da, db in zip(effs, effs[1:], devs, devs[1:]):

@@ -156,153 +156,6 @@ def _octant_order(centers: np.ndarray, octant: int) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
-# --- sublane-wide layout ---------------------------------------------------
-# The wide kernel above tests each child's AABB against the WHOLE tile —
-# 8 slab tests x full tile per step made it vector-bound (docs/DESIGN.md).
-# The sublane-wide layout instead puts the 8 children on the 8 SUBLANES and
-# 128 rays on the lanes: one (8, 128)-vreg op set tests 8 boxes x 128 rays.
-# Leaf rows get the same treatment (8 triangles on sublanes).  See
-# ops/pallas/sublane_bvh.py for the traversal.
-
-SUB_META_NROWS_SHIFT = 20  # payload bits 0-19 (tri row ptr / wide child id)
-SUB_META_NROWS_MASK = 63  # bits 20-25
-SUB_META_K_SHIFT = 26  # canonical child slot bits 26-28
-SUB_META_VALID = 1 << 29
-SUB_META_PTR_MASK = (1 << SUB_META_NROWS_SHIFT) - 1
-
-
-@struct.dataclass
-class PackedSublaneBVH:
-    node_cols: jnp.ndarray  # [W*8, 128] f32 — row 8w+k lanes 0:6 = child k bmin/bmax
-    meta: jnp.ndarray  # [8 * W * 8] i32 — per-octant near-first entries (SMEM)
-    # per-wide-node leaf info (SMEM, canonical): a node's leaf children's
-    # triangle rows are stored CONTIGUOUSLY in tri_cols, so a node step runs
-    # ONE fori over [leaf_start, leaf_start + leaf_rows) instead of one loop
-    # per child; leaf_kmask has bit k set for each leaf child k, gating the
-    # whole run on "any leaf child's box was hit"
-    leaf_start: jnp.ndarray = None  # [W] i32
-    leaf_rows: jnp.ndarray = None  # [W] i32
-    leaf_kmask: jnp.ndarray = None  # [W] i32
-    tri_cols: jnp.ndarray = None  # [Rt*8, 128] f32 — row 8r+j lanes 0:9 = tri j of row r
-    slot_tri: jnp.ndarray = None  # [Rt * 8] i32 — slot -> pool triangle id
-    slot_meta: jnp.ndarray = None
-    num_wide: int = struct.field(pytree_node=False, default=0)
-    # multipop traversal (CRT_SUBLANE_POP) pushes up to POP*7 children per
-    # iteration — size the SMEM stack generously (8 blocks x 192 x i32 = 6KB)
-    max_stack: int = struct.field(pytree_node=False, default=192)
-    world_min: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
-    world_max: tuple = struct.field(pytree_node=False, default=(1.0, 1.0, 1.0))
-
-
-def pack_sublane_host(
-    node_min: np.ndarray,
-    node_max: np.ndarray,
-    left: np.ndarray,
-    right: np.ndarray,
-    left_first: np.ndarray,
-    tri_count: np.ndarray,
-    tri_indices: np.ndarray,
-    tri_v0: np.ndarray,
-    tri_e1: np.ndarray,
-    tri_e2: np.ndarray,
-    root: int,
-    obj_id: np.ndarray | None = None,
-    mat_id: np.ndarray | None = None,
-) -> PackedSublaneBVH:
-    """Collapse + pack a binary host BVH for the sublane-wide kernel.
-
-    Leaf triangle rows are grouped per OWNING WIDE NODE (all leaf children
-    of one wide node contiguous), transposed 8-tris-on-sublanes."""
-    wide, depth = collapse_wide(left, right, tri_count, node_min, node_max, root)
-    w = len(wide)
-    if w >= (1 << SUB_META_NROWS_SHIFT):
-        raise ValueError("scene exceeds sublane-wide meta field widths")
-
-    # --- per-wide-node grouped, transposed triangle rows -----------------
-    rows_list = []  # each: (8, 128) block? build flat rows directly
-    leaf_start = np.zeros(w, np.int32)
-    leaf_rows = np.zeros(w, np.int32)
-    leaf_kmask = np.zeros(w, np.int32)
-    slot_tri_list = []
-    row = 0
-    tri_cols_rows = []
-    for wi, kids in enumerate(wide):
-        leaf_start[wi] = row
-        for slot, (bin_id, wide_child) in enumerate(kids):
-            if wide_child >= 0 or tri_count[bin_id] == 0:
-                continue
-            leaf_kmask[wi] |= 1 << slot
-            f = int(left_first[bin_id])
-            c = int(tri_count[bin_id])
-            nrows = (c + TRIS_PER_ROW - 1) // TRIS_PER_ROW
-            for rr in range(nrows):
-                block = np.zeros((8, 128), np.float32)
-                slots = np.full(8, -1, np.int32)
-                for j in range(TRIS_PER_ROW):
-                    k = rr * TRIS_PER_ROW + j
-                    if k >= c:
-                        break
-                    tid = int(tri_indices[f + k])
-                    block[j, 0:3] = tri_v0[tid]
-                    block[j, 3:6] = tri_e1[tid]
-                    block[j, 6:9] = tri_e2[tid]
-                    slots[j] = tid
-                tri_cols_rows.append(block)
-                slot_tri_list.append(slots)
-            row += nrows
-        leaf_rows[wi] = row - leaf_start[wi]
-    n_tri_rows = max(row, 1)
-    if not tri_cols_rows:
-        tri_cols_rows.append(np.zeros((8, 128), np.float32))
-        slot_tri_list.append(np.full(8, -1, np.int32))
-    tri_cols = np.concatenate(tri_cols_rows, axis=0)
-    slot_tri = np.concatenate(slot_tri_list)
-    if n_tri_rows >= (1 << SUB_META_NROWS_SHIFT):
-        raise ValueError("scene exceeds sublane-wide tri-row field width")
-
-    node_cols = np.full((w * 8, 128), np.nan, np.float32)
-    meta = np.zeros((8, w, WIDE), np.int32)
-    for wi, kids in enumerate(wide):
-        ids = np.array([c[0] for c in kids], np.int64)
-        centers = (node_min[ids] + node_max[ids]) * 0.5
-        for slot, (bin_id, _) in enumerate(kids):
-            node_cols[wi * 8 + slot, 0:3] = node_min[bin_id]
-            node_cols[wi * 8 + slot, 3:6] = node_max[bin_id]
-        for o in range(8):
-            order = _octant_order(centers, o)
-            for j, src in enumerate(order):
-                bin_id, wide_child = kids[src]
-                if wide_child >= 0:
-                    payload, nrows = wide_child, 0
-                else:
-                    # leaf: payload unused (rows come from leaf_start/rows);
-                    # nrows != 0 just marks "leaf, don't push"
-                    payload, nrows = 0, 1
-                meta[o, wi, j] = (
-                    payload
-                    | (nrows << SUB_META_NROWS_SHIFT)
-                    | (int(src) << SUB_META_K_SHIFT)
-                    | SUB_META_VALID
-                )
-
-    pk = PackedSublaneBVH(
-        node_cols=jnp.asarray(node_cols),
-        meta=jnp.asarray(meta.reshape(-1)),
-        leaf_start=jnp.asarray(leaf_start),
-        leaf_rows=jnp.asarray(leaf_rows),
-        leaf_kmask=jnp.asarray(leaf_kmask),
-        tri_cols=jnp.asarray(tri_cols),
-        slot_tri=jnp.asarray(slot_tri),
-        num_wide=w,
-        max_stack=max(8 * (depth + 2), 64),
-        world_min=tuple(float(x) for x in node_min[root]),
-        world_max=tuple(float(x) for x in node_max[root]),
-    )
-    if obj_id is not None and mat_id is not None:
-        pk = pk.replace(slot_meta=make_slot_meta(np.asarray(slot_tri), obj_id, mat_id))
-    return pk
-
-
 def pack_wide_host(
     node_min: np.ndarray,
     node_max: np.ndarray,

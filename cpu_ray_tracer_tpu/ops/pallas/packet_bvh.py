@@ -112,20 +112,11 @@ STACK = None if _stack_env is None else (_stack_env == "1")
 def _want_stack(pk) -> bool:
     return pk.stack_default if STACK is None else STACK
 STACK_CAP = 128  # ints per cursor group; pack-time depth is asserted below
-# Candidate prefetch for the stack walk: the next node is one of
-# {near, far, stack top}, all known BEFORE the reduce — fetch all three
-# candidates' (near/far ids + both child records) while the reduce is in
-# flight (54 SMEM loads off the serial chain, selected by 18 scalar
-# 3-way selects after the branch resolves).
-STACK_PREFETCH = _os.environ.get("CRT_STACK_PREFETCH", "0") == "1"
-# Deferred leaf tests (stack walk): leaf children found at step k run
-# their Möller–Trumbore rows at step k+1, BETWEEN issuing k+1's packed
-# reduce and reading it — the ~175 ns vector->scalar sync hides behind
-# the rows instead of preceding them.  t tightens one step late, so a few
-# extra nodes pass the slab test (their tris cannot win: they only
-# survived a STALER, larger t) — results identical, work slightly up,
-# sync exposure down.
-STACK_DEFER = _os.environ.get("CRT_STACK_DEFER", "0") == "1"
+# r3 latency-hiding experiments REMOVED in r4 (both measured neutral, see
+# docs/ROOFLINE.md history): CRT_STACK_PREFETCH (3-candidate record
+# prefetch during the reduce; 13.45 vs 13.50 Mrays/s) and CRT_STACK_DEFER
+# (leaf rows one step late between reduce issue and read; 13.07 vs 13.12)
+# — the scalar unit already overlaps this work with the in-flight reduce.
 SMEM_BUDGET = int(_os.environ.get("CRT_SMEM_BUDGET", str(480 * 1024)))  # bytes
 TRI_EPS = constants.TRI_EPS
 BIG = jnp.float32(1e30)
@@ -491,14 +482,11 @@ def _kernel_stack(
 
     gin = [group_inputs(g) for g in range(GROUPS)]
 
-    prefetch = STACK_PREFETCH
-
     def cond(c):
         steps, groups = c
         go = jnp.int32(0)
         for g in range(GROUPS):
-            head = groups[g][0]
-            cur = head[0] if prefetch else head
+            cur = groups[g][0]
             slot = groups[g][5]
             gg = (cur >= 0).astype(jnp.int32)
             if any_hit:
@@ -515,16 +503,8 @@ def _kernel_stack(
             meta_ref[0, node], meta_ref[1, node],
         )
 
-    def candidate(node, o8):
-        """(near id, far id, near rec, far rec) of a possible next node."""
-        nn = jnp.maximum(node, 0)
-        cn = nf_ref[o8, 0, nn]
-        cf = nf_ref[o8, 1, nn]
-        return cn, cf, fetch8(jnp.maximum(cn, 0)), fetch8(jnp.maximum(cf, 0))
-
     def leaf_tests_for(g):
-        """MT row loop over [lf, lf+nrows) for cursor group g — used inside
-        group_step and (STACK_DEFER) by the post-loop pending drain."""
+        """MT row loop over [lf, lf+nrows) for cursor group g."""
         ox, oy, oz, dx, dy, dz = gin[g][:6]
         mask = gin[g][9]
 
@@ -576,28 +556,18 @@ def _kernel_stack(
 
     def group_step(g, c):
         ox, oy, oz, dx, dy, dz, rdx, rdy, rdz, mask, o8 = gin[g]
-        if STACK_DEFER:
-            (head, sp, t, u, v, slot, trav, test) = c[:8]
-            pend = c[8:]
-        else:
-            head, sp, t, u, v, slot, trav, test = c
+        head, sp, t, u, v, slot, trav, test = c
         # predicated-safe when parked (cur < 0): reads stay in bounds and
         # state does not advance
-        if prefetch:
-            # this node's children ids + records were selected by the
-            # PREVIOUS step among its three prefetched candidates
-            cur, near, far, nrec, frec = head
-            active = cur >= 0
-        else:
-            cur = head
-            active = cur >= 0
-            node = jnp.maximum(cur, 0)
-            near = nf_ref[o8, 0, node]
-            far = nf_ref[o8, 1, node]
-            # interior nodes always have both children; parked cursors read
-            # node 0 (root, interior on this path) harmlessly
-            nrec = fetch8(jnp.maximum(near, 0))
-            frec = fetch8(jnp.maximum(far, 0))
+        cur = head
+        active = cur >= 0
+        node = jnp.maximum(cur, 0)
+        near = nf_ref[o8, 0, node]
+        far = nf_ref[o8, 1, node]
+        # interior nodes always have both children; parked cursors read
+        # node 0 (root, interior on this path) harmlessly
+        nrec = fetch8(jnp.maximum(near, 0))
+        frec = fetch8(jnp.maximum(far, 0))
 
         def slab(rec):
             bminx, bminy, bminz, bmaxx, bmaxy, bmaxz = rec[:6]
@@ -623,55 +593,22 @@ def _kernel_stack(
         # ONE vector->scalar reduce decides BOTH children (lane counts fit
         # 16 bits: tiles are <= 8192 rays)
         packed = jnp.sum(hitN.astype(jnp.int32) + (hitF.astype(jnp.int32) << 16))
-        if prefetch:
-            # next node is one of {near, far, pre-step stack top} — fetch
-            # all three candidates' children NOW, while the reduce is in
-            # flight (54 SMEM loads leave the serial chain; a pop never
-            # co-occurs with a push, so the pre-step top is the right pop
-            # target)
-            popc = stack_ref[g, jnp.maximum(sp - 1, 0)]
-            candN = candidate(near, o8)
-            candF = candidate(far, o8)
-            candP = candidate(popc, o8)
         leaf_tests = leaf_tests_for(g)
-        if STACK_DEFER:
-            # run the PREVIOUS step's pending leaf rows now — the packed
-            # reduce above is still in flight; its result is not consumed
-            # until anyN below
-            args = (t, u, v, slot, test)
-            args = jax.lax.cond(
-                pend[1] > 0,
-                lambda a: leaf_tests(pend[0], pend[1], a), lambda a: a, args,
-            )
-            args = jax.lax.cond(
-                pend[3] > 0,
-                lambda a: leaf_tests(pend[2], pend[3], a), lambda a: a, args,
-            )
-            t, u, v, slot, test = args
         anyN = (packed & 0xFFFF) > 0
         anyF = packed >= (1 << 16)
         leafN = nrec[7] > 0
         leafF = frec[7] > 0
 
-        if STACK_DEFER:
-            # schedule this step's leaf children for the NEXT step
-            do_n = anyN & leafN & active & (not NO_LEAF)
-            do_f = anyF & leafF & active & (not NO_LEAF)
-            pend = (
-                nrec[6], jnp.where(do_n, nrec[7], 0),
-                frec[6], jnp.where(do_f, frec[7], 0),
-            )
-        else:
-            args = (t, u, v, slot, test)
-            args = jax.lax.cond(
-                anyN & leafN & (not NO_LEAF),
-                lambda a: leaf_tests(nrec[6], nrec[7], a), lambda a: a, args,
-            )
-            args = jax.lax.cond(
-                anyF & leafF & (not NO_LEAF),
-                lambda a: leaf_tests(frec[6], frec[7], a), lambda a: a, args,
-            )
-            t, u, v, slot, test = args
+        args = (t, u, v, slot, test)
+        args = jax.lax.cond(
+            anyN & leafN & (not NO_LEAF),
+            lambda a: leaf_tests(nrec[6], nrec[7], a), lambda a: a, args,
+        )
+        args = jax.lax.cond(
+            anyF & leafF & (not NO_LEAF),
+            lambda a: leaf_tests(frec[6], frec[7], a), lambda a: a, args,
+        )
+        t, u, v, slot, test = args
 
         goN = anyN & (~leafN) & active
         goF = anyF & (~leafF) & active
@@ -681,41 +618,16 @@ def _kernel_stack(
         def _push():
             stack_ref[g, sp] = far
 
-        if prefetch:
-            nxt = jnp.where(
-                goN, near,
-                jnp.where(goF, far, jnp.where(sp > 0, popc, jnp.int32(-1))),
-            )
-
-            def sel(a, b, cc):
-                return jnp.where(goN, a, jnp.where(goF, b, cc))
-
-            near2 = sel(candN[0], candF[0], candP[0])
-            far2 = sel(candN[1], candF[1], candP[1])
-            nrec2 = tuple(sel(x, y, z) for x, y, z in zip(candN[2], candF[2], candP[2]))
-            frec2 = tuple(sel(x, y, z) for x, y, z in zip(candN[3], candF[3], candP[3]))
-            sp3 = jnp.where(
-                goN | goF, sp + both.astype(jnp.int32), jnp.maximum(sp - 1, 0)
-            )
-            head = (
-                jnp.where(active, nxt, cur),
-                jnp.where(active, near2, near),
-                jnp.where(active, far2, far),
-                tuple(jnp.where(active, a, b) for a, b in zip(nrec2, nrec)),
-                tuple(jnp.where(active, a, b) for a, b in zip(frec2, frec)),
-            )
-        else:
-            sp2 = sp + both.astype(jnp.int32)
-            pop_val = jnp.where(
-                sp2 > 0, stack_ref[g, jnp.maximum(sp2 - 1, 0)], jnp.int32(-1)
-            )
-            nxt = jnp.where(goN, near, jnp.where(goF, far, pop_val))
-            sp3 = jnp.where(goN | goF, sp2, jnp.maximum(sp2 - 1, 0))
-            head = jnp.where(active, nxt, cur)
+        sp2 = sp + both.astype(jnp.int32)
+        pop_val = jnp.where(
+            sp2 > 0, stack_ref[g, jnp.maximum(sp2 - 1, 0)], jnp.int32(-1)
+        )
+        nxt = jnp.where(goN, near, jnp.where(goF, far, pop_val))
+        sp3 = jnp.where(goN | goF, sp2, jnp.maximum(sp2 - 1, 0))
+        head = jnp.where(active, nxt, cur)
         sp = jnp.where(active, sp3, sp)
         trav = trav + jnp.where(active, 1, 0)
-        out = (head, sp, t, u, v, slot, trav, test)
-        return out + pend if STACK_DEFER else out
+        return head, sp, t, u, v, slot, trav, test
 
     def body(c):
         # unrolled like the link walk: group_step is a no-op on a parked
@@ -741,17 +653,8 @@ def _kernel_stack(
         # first tree's walk drains)
         for i, rt in enumerate(roots[1:]):
             stack_ref[g, i] = jnp.int32(rt)
-        if prefetch:
-            n0 = nf_ref[o8, 0, roots[0]]
-            f0 = nf_ref[o8, 1, roots[0]]
-            head0 = (
-                cur0, n0, f0,
-                fetch8(jnp.maximum(n0, 0)), fetch8(jnp.maximum(f0, 0)),
-            )
-        else:
-            head0 = cur0
-        init = (
-            head0,
+        return (
+            cur0,
             jnp.int32(len(roots) - 1),  # stack pointer
             t0[s],
             jnp.zeros(gshape, jnp.float32),
@@ -760,30 +663,12 @@ def _kernel_stack(
             jnp.int32(0),  # trav: interior steps (stats; link walk counts visits)
             jnp.int32(0),  # test: tri-test counter
         )
-        if STACK_DEFER:
-            # pending leaf descriptors (lf, nrows) x2; nrows 0 = empty
-            init = init + (jnp.int32(0),) * 4
-        return init
 
     carry = (jnp.int32(0), tuple(group_init(g) for g in range(GROUPS)))
     steps, groups = jax.lax.while_loop(cond, body, carry)
     for g in range(GROUPS):
         s = slice(g * GSUB, (g + 1) * GSUB)
         _, _, t, u, v, slot, trav, test = groups[g][:8]
-        if STACK_DEFER:
-            # drain the leaf rows the final step left pending
-            pend = groups[g][8:]
-            leaf_tests = leaf_tests_for(g)
-            args = (t, u, v, slot, test)
-            args = jax.lax.cond(
-                pend[1] > 0,
-                lambda a: leaf_tests(pend[0], pend[1], a), lambda a: a, args,
-            )
-            args = jax.lax.cond(
-                pend[3] > 0,
-                lambda a: leaf_tests(pend[2], pend[3], a), lambda a: a, args,
-            )
-            t, u, v, slot, test = args
         t_ref[0, s, :] = t
         u_ref[0, s, :] = u
         v_ref[0, s, :] = v

@@ -417,8 +417,8 @@ def _use_wavefront(scene, differentiable: bool) -> bool:
         return False
     if getattr(scene, "shared", None) is not None:
         return False
-    # explicit wide/sublane kernel experiments take precedence
-    if scene.packed_wide is not None or scene.packed_sublane is not None:
+    # an explicit wide-kernel experiment takes precedence
+    if scene.packed_wide is not None:
         return False
     if scene.bilinear or not (scene.has_light and scene.has_floor):
         return False
@@ -569,19 +569,15 @@ def _sample_radiance_wavefront(
             pixel=jnp.arange(r, dtype=jnp.int32),
             locus=wf["locus"],
         )
-        # Per-depth kernel bounces (CRT_WF_BOUNCE=1) measured NET-NEGATIVE on
-        # v5e (11.58 vs 12.73 Mrays/s at the headline): carrying the six
-        # shading attributes through the while loop costs about what the
-        # fused hit-record gather + material matmul it replaces cost.  Kept
-        # as an option; default is the XLA bounce.
-        if _os.environ.get("CRT_WF_BOUNCE", "0") == "1":
-            bounce = functools.partial(_bounce_step_kernel, scene, depth_limit)
-        else:
-            use_tcap, t_cap = _tcap_setup(scene, False)
-            bounce = functools.partial(
-                _bounce_step, scene, query.find_nearest, depth_limit,
-                use_tcap, t_cap,
-            )
+        # (r3's CRT_WF_BOUNCE per-depth kernel bounce measured NET-NEGATIVE
+        # — 11.58 vs 12.73 Mrays/s — and was removed in r4; the six shading
+        # attributes riding the while carry cost about what the fused
+        # hit-record gather + material matmul they replaced cost.)
+        use_tcap, t_cap = _tcap_setup(scene, False)
+        bounce = functools.partial(
+            _bounce_step, scene, query.find_nearest, depth_limit,
+            use_tcap, t_cap,
+        )
         chunk = r // max(chunks, 1)
         depth_body = _make_depth_body(scene, bounce, chunk)
         next_d = k_depths
@@ -616,70 +612,6 @@ def _sample_radiance_wavefront(
 
     return emit * factor, dict(
         rays_traced=rays_traced, traversed=traversed, tested=tested
-    )
-
-
-def _bounce_step_kernel(scene, depth_limit, depth, s, capped=False, tap_chunks=1):
-    """_bounce_step with the traverse->shade->bounce-math of ONE depth run
-    inside the wavefront Pallas kernel (ops/pallas/wavefront_pt.py,
-    k_depths=1) instead of XLA ops.  The caller's sort/cascade machinery is
-    unchanged — this replaces only the per-depth compute, killing the fused
-    hit-record gather, the material one-hot matmul and the XLA lobe math.
-
-    The kernel's internal depth cutoff is disabled (depth here is a TRACED
-    scan value; the kernel's is static) and applied right here instead:
-    `past` suppresses the light contribution and kills survivors, exactly
-    _bounce_step's `past_limit` (miss/sky is recorded first, matching
-    renderer.cpp:52-55).  `capped`/`tap_chunks` are accepted for signature
-    parity and ignored (the texel tap below is already cond-skipped)."""
-    from cpu_ray_tracer_tpu.ops.pallas import wavefront_pt
-
-    interpret = jax.default_backend() != "tpu"
-    wf = wavefront_pt.trace(
-        scene, s["o"], s["d"], s["seed"], 1, depth_limit + 1,
-        interpret=interpret, alive=s["alive"], inside=s["inside"],
-    )
-    past = jnp.asarray(depth >= depth_limit)
-    keep = jnp.logical_not(past)
-    lit = wf["lit"] & keep
-    alive = wf["alive"] & keep
-    radiance = s["radiance"] + jnp.where(
-        lit[..., None], s["throughput"] * scene.light_color, 0.0
-    )
-    # deferred texel factor for this depth (cond: most bounce batches hit
-    # nothing textured, skipping the HBM gather)
-    idx = wf["tex_idx"][:, 0]
-    packed = scene.atlas.packed
-    scale = jnp.float32(1.0 / 255.0)
-
-    def _tap(i):
-        p = packed[jnp.maximum(i, 0)]
-        rgb = jnp.stack(
-            [
-                ((p >> 16) & 0xFF).astype(jnp.float32),
-                ((p >> 8) & 0xFF).astype(jnp.float32),
-                (p & 0xFF).astype(jnp.float32),
-            ],
-            axis=-1,
-        ) * scale
-        return jnp.where((i >= 0)[..., None], rgb, 1.0)
-
-    texf = jax.lax.cond(
-        jnp.any(idx >= 0), _tap, lambda i: jnp.ones(idx.shape + (3,), jnp.float32), idx
-    )
-    return dict(
-        o=wf["o"],
-        d=wf["d"],
-        seed=wf["seed"],
-        throughput=s["throughput"] * wf["tp"] * texf,
-        radiance=radiance,
-        inside=wf["inside"],
-        alive=alive,
-        missed=s["missed"] | wf["missed"],
-        traversed=s["traversed"] + wf["traversed"],
-        tested=s["tested"] + wf["tested"],
-        pixel=s["pixel"],
-        locus=jnp.where(wf["locus"] >= 0, wf["locus"], s["locus"]),
     )
 
 
@@ -770,7 +702,13 @@ def _cascade(scene, state, rays_traced, deep, chunk, depth_body, r, diff=False):
         return tier
 
     n_live = jnp.sum(state["alive"].astype(jnp.int32))
-    tiers = [w for w in (chunk, 4 * chunk) if w < r]
+    # tier ladder extends with the ray population: megapasses (several
+    # samples per pass) keep chunk SIZE constant, so deep-depth live counts
+    # scale with samples/pass and r3's two-tier ladder fell through to the
+    # full-width fallback — the measured reason BENCH_SPB lost (4.5 vs 12.9
+    # Mrays/s).  Extra tiers are free at 1 spp (the cond nest just never
+    # takes them).
+    tiers = [w for w in (chunk, 4 * chunk, 16 * chunk, 64 * chunk) if w < r]
     run = deep_full
     for w in reversed(tiers):  # build the cond nest widest-first
         run = (

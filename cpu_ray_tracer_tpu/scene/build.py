@@ -307,7 +307,6 @@ def compile_scene(
 
     packed = None
     packed_wide = None
-    packed_sublane = None
     if use_pallas and accel in ("grid", "kdtree"):
         # compile the grid / KD structure into the packet kernel's threaded
         # format (accel/cell_tree.py) — same build semantics, one kernel
@@ -377,29 +376,12 @@ def compile_scene(
         packed = pack_mod.attach_stack_tables(
             packed, host_pack["left"], host_pack["right"], host_pack["axis"]
         )
-        # Wide kernel is opt-in: on v5e it measured 12.6 Mrays/s primary vs
-        # the binary packet kernel's 18.8 (equal on sorted bounce rays) —
-        # the 8 slab tests per step on the full tile made it vector-bound.
-        # Kept for the group-cursor experiments; see docs/DESIGN.md.
-        if _os.environ.get("CRT_SUBLANE", "0") == "1":
-            from cpu_ray_tracer_tpu.accel import wide as wide_mod
-
-            try:
-                packed_sublane = wide_mod.pack_sublane_host(
-                    host_pack["node_min"], host_pack["node_max"],
-                    host_pack["left"], host_pack["right"],
-                    host_pack["left_first"], host_pack["tri_count"],
-                    host_pack["tri_indices"],
-                    v0h, all_v[:, 1] - v0h, all_v[:, 2] - v0h,
-                    host_pack["root"],
-                    obj_id=np.concatenate(inst_obj, axis=0),
-                    mat_id=mat_arr,
-                )
-                # per-octant meta lives in SMEM: [8 * W * 8] i32
-                if packed_sublane.num_wide * 8 * 8 * 4 > 384 * 1024:
-                    packed_sublane = None
-            except ValueError:
-                packed_sublane = None
+        # Wide kernel (r4 SMEM-table rewrite) is opt-in via CRT_WIDE=1: it
+        # measures within ~3% of the binary stack walk on both coherent and
+        # sorted-bounce distributions (kernel_speed.py), with 3.4x fewer
+        # steps but the same leaf-row-bound total.  The r1-r3 sublane-wide
+        # experiment (8 tris on sublanes) measured strictly worse and was
+        # removed in r4 (docs/ROOFLINE.md history).
         if _os.environ.get("CRT_WIDE", "0") == "1":
             from cpu_ray_tracer_tpu.accel import wide as wide_mod
 
@@ -460,7 +442,6 @@ def compile_scene(
         kd=kd_arr,
         packed=packed,
         packed_wide=packed_wide,
-        packed_sublane=packed_sublane,
         use_pallas=use_pallas and packed is not None,
     )
     return scene, info

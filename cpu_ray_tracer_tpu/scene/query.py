@@ -118,15 +118,6 @@ def _traverse_accel(scene: DeviceScene, o, d, t, any_hit: bool = False, mask=Non
     # grid / kdtree with use_pallas fall through: their structures are
     # compiled into the packet kernel's threaded format (accel/cell_tree.py)
     # and scene.packed carries the result — one kernel, three accelerators.
-    if scene.use_pallas and scene.packed_sublane is not None:
-        from cpu_ray_tracer_tpu.ops.pallas import sublane_bvh
-
-        interpret = jax.default_backend() != "tpu"
-        fn = sublane_bvh.traverse_sorted if sort_rays else sublane_bvh.traverse
-        return fn(
-            scene.packed_sublane, scene.tris, o, d, t,
-            mask=mask, any_hit=any_hit, interpret=interpret,
-        )
     if scene.use_pallas and scene.packed_wide is not None:
         from cpu_ray_tracer_tpu.ops.pallas import wide_bvh
 

@@ -105,10 +105,7 @@ class DeviceScene:
     # present it is preferred over `packed` — the binary layout is kept as
     # the fallback (huge scenes whose child-metadata table outgrows SMEM)
     packed_wide: object = None  # PackedWideBVH
-    # sublane-wide (8 children / 8 triangles on sublanes x 128 rays on
-    # lanes) layout (accel/wide.py pack_sublane_host); preferred over both
     # other packed layouts when present (CRT_SUBLANE=1)
-    packed_sublane: object = None  # PackedSublaneBVH
     # object-space shared-BLAS instancing tables (instancing="shared");
     # when present, traversal runs the masked per-instance pass loop and
     # `tris` holds the OBJECT-SPACE unique-mesh pool

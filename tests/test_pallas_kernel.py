@@ -8,7 +8,7 @@ from cpu_ray_tracer_tpu.accel import bvh_builder, pack
 from cpu_ray_tracer_tpu.accel import wide as wide_mod
 from cpu_ray_tracer_tpu.accel.compile import compile_bvh, make_triangle_pool
 from cpu_ray_tracer_tpu.ops import intersect
-from cpu_ray_tracer_tpu.ops.pallas import packet_bvh, sublane_bvh, wide_bvh
+from cpu_ray_tracer_tpu.ops.pallas import packet_bvh, wide_bvh
 
 
 def random_scene(rng, n):
@@ -265,75 +265,6 @@ class TestPallasSceneIntegration:
         assert pal_scene.use_pallas and pal_scene.packed is not None
         img = np.asarray(whitted.render(pal_scene, cam)["image"])
         np.testing.assert_allclose(img, ref, atol=2e-3, rtol=1e-3)
-
-
-def sublane_scene(rng, n, force_split_cap=8):
-    base = rng.uniform(-4, 4, size=(n, 1, 3))
-    tri_v = (base + rng.normal(0, 0.4, size=(n, 3, 3))).astype(np.float32)
-    pool = make_triangle_pool(tri_v)
-    host, idx, _ = bvh_builder.build_bvh(tri_v, force_split_cap=force_split_cap)
-    v0 = tri_v[:, 0]
-    ps = wide_mod.pack_sublane_host(
-        host.node_min, host.node_max, host.left, host.right,
-        host.left_first, host.tri_count, idx,
-        v0, tri_v[:, 1] - v0, tri_v[:, 2] - v0, 0,
-    )
-    return tri_v, pool, host, ps
-
-
-class TestSublaneKernelInterpret:
-    """Sublane-wide kernel (8 children / 8 tris on sublanes x 128 rays on
-    lanes, ops/pallas/sublane_bvh.py) vs the brute oracle."""
-
-    def test_matches_brute_force(self, rng):
-        tri_v, pool, host, ps = sublane_scene(rng, 256)
-        o, d = random_rays(rng, 2048)
-        t0 = jnp.full((2048,), 1e34, jnp.float32)
-        res = sublane_bvh.traverse(ps, pool, o, d, t0, interpret=True)
-        bt, bu, bv, btri = intersect.brute_force_nearest(o, d, t0, pool.v0, pool.e1, pool.e2)
-        np.testing.assert_allclose(np.asarray(res["t"]), np.asarray(bt), rtol=1e-5)
-        np.testing.assert_array_equal(np.asarray(res["tri_idx"]), np.asarray(btri))
-
-    def test_mask_any_hit_and_nonmultiple(self, rng):
-        tri_v, pool, host, ps = sublane_scene(rng, 128)
-        o, d = random_rays(rng, 700)  # not a tile multiple
-        t0 = jnp.full((700,), 1e34, jnp.float32)
-        mask = jnp.ones((700,), jnp.float32).at[::2].set(0.0)
-        res = sublane_bvh.traverse(ps, pool, o, d, t0, mask=mask, interpret=True)
-        bt, _, _, btri = intersect.brute_force_nearest(o, d, t0, pool.v0, pool.e1, pool.e2)
-        tri = np.asarray(res["tri_idx"])
-        assert (tri[::2] == -1).all()
-        np.testing.assert_array_equal(tri[1::2], np.asarray(btri)[1::2])
-        anyh = sublane_bvh.traverse(ps, pool, o, d, t0, any_hit=True, interpret=True)
-        np.testing.assert_array_equal(
-            tri[1::2] >= 0, np.asarray(anyh["tri_idx"])[1::2] >= 0
-        )
-
-    def test_shadow_t_max_single_tri(self, rng):
-        tri_v = np.array([[[-5, -5, 2], [5, -5, 2], [0, 5, 2]]], np.float32)
-        pool = make_triangle_pool(tri_v)
-        host, idx, _ = bvh_builder.build_bvh(tri_v, force_split_cap=8)
-        v0 = tri_v[:, 0]
-        ps = wide_mod.pack_sublane_host(
-            host.node_min, host.node_max, host.left, host.right,
-            host.left_first, host.tri_count, idx,
-            v0, tri_v[:, 1] - v0, tri_v[:, 2] - v0, 0,
-        )
-        o = jnp.zeros((1, 3))
-        d = jnp.array([[0.0, 0.0, 1.0]])
-        far = sublane_bvh.traverse(ps, pool, o, d, jnp.array([1e34], jnp.float32), interpret=True)
-        near = sublane_bvh.traverse(ps, pool, o, d, jnp.array([1.5], jnp.float32), interpret=True)
-        assert int(far["tri_idx"][0]) == 0
-        assert int(near["tri_idx"][0]) == -1
-
-    def test_sorted_matches_unsorted(self, rng):
-        tri_v, pool, host, ps = sublane_scene(rng, 200)
-        o, d = random_rays(rng, 1500)
-        t0 = jnp.full((1500,), 1e34, jnp.float32)
-        a = sublane_bvh.traverse(ps, pool, o, d, t0, interpret=True)
-        b = sublane_bvh.traverse_sorted(ps, pool, o, d, t0, interpret=True)
-        np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]), rtol=1e-6)
-        np.testing.assert_array_equal(np.asarray(a["tri_idx"]), np.asarray(b["tri_idx"]))
 
 
 def stack_scene(rng, n):

@@ -35,10 +35,9 @@ def cube_scene_packed():
 
 @pytest.fixture()
 def wf_env(monkeypatch):
-    def set_env(depths, kernel_bounce="0"):
+    def set_env(depths):
         monkeypatch.setenv("CRT_WAVEFRONT", "1")
         monkeypatch.setenv("CRT_WF_DEPTHS", str(depths))
-        monkeypatch.setenv("CRT_WF_BOUNCE", kernel_bounce)
 
     return set_env
 
@@ -70,17 +69,6 @@ def test_wavefront_full_depth_matches_host(cube_scene_packed, wf_env, monkeypatc
     scene = cube_scene_packed
     ref, ref_rays = _host_image(scene, monkeypatch)
     wf_env(6)
-    cam = cam_mod.make_camera(W, H)
-    img, stats = pathtracer.render_pass(scene, cam, jnp.uint32(1))
-    assert int(stats["rays_traced"]) == ref_rays
-    np.testing.assert_allclose(np.asarray(img), ref, atol=2e-5, rtol=1e-4)
-
-
-def test_wavefront_kernel_bounce_matches_host(cube_scene_packed, wf_env, monkeypatch):
-    """Per-depth kernel bounces in the sorted tail (CRT_WF_BOUNCE=1)."""
-    scene = cube_scene_packed
-    ref, ref_rays = _host_image(scene, monkeypatch)
-    wf_env(1, kernel_bounce="1")
     cam = cam_mod.make_camera(W, H)
     img, stats = pathtracer.render_pass(scene, cam, jnp.uint32(1))
     assert int(stats["rays_traced"]) == ref_rays
