@@ -23,15 +23,20 @@ speedup bound.  Decision rule: integrate only if an achievable batch size
 (m <= 32, since leaves average 1-3 rows and deferral queues add real cost)
 beats V by >= 1.5x.
 
-Numbers (v5e, 2026-08-20 run, two-pass chained timing):
-  V 640 ns/row; M8 4076; M32 1534; M64 1166; M128 930 ns/row-equivalent.
-  Even at m = 128 queued triangles the MXU formulation is 1.45x SLOWER
-  than the VPU row test, because K = 16 throws away 8x of the MXU dot depth
-  and the epilogue still pays ~45% of the VPU cost.  CONCLUSION: on this
-  hardware the MT leaf test stays on the VPU; the MXU path would need a
-  contraction >= 64 deep (e.g. fused multi-leaf batches of 4+ quantities x
-  16 features) that the traversal cannot supply.  Recorded in
-  docs/ROOFLINE.md.
+Numbers (v5e, 2026-08-20 run, two-pass chained timing with a discarded
+first measurement):
+  V 1171 ns/row; M8 966; M32 973; M64 973; M128 985 ns/row-equivalent —
+  the MXU formulation is a FLAT ~1.2x faster per test, independent of
+  batch size (the [*, 16] @ [16, 4096] matmul is stream-bound, so batching
+  more rows per flush buys nothing).  1.2x on the leaf test is ~2-3% of
+  the headline (leaf rows are ~25-40% of traverse, traverse ~35% of a
+  pass) and does NOT clear the >= 1.5x integration bar: the production
+  kernel would additionally pay the [16, R] feature-matrix build, the
+  (1, 4096) <-> (32, 128) layout conversions of the running hit state, and
+  an f32-precision risk (the feature form loses the O - v0 cancellation).
+  CONCLUSION: leaf Möller–Trumbore stays on the VPU; K = 16 wastes 8x of
+  the MXU's 128-deep dot and no achievable batching recovers it.
+  Recorded in docs/ROOFLINE.md.
 """
 
 import os
@@ -107,7 +112,7 @@ def make_mxu_kernel(m: int):
     u*a, v*a, t*a rows), Phi is [16, 4096]."""
 
     def kernel(c_ref, phi_ref, out_ref):
-        phi = phi_ref[:]  # (16, 4096)
+        phi = phi_ref[0]  # (16, 4096)
 
         def body(i, c):
             t, slot = c
