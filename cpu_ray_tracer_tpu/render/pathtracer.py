@@ -743,15 +743,7 @@ def sample_radiance(
     go through a custom-vjp gather whose backward is the INVERSE gather
     (never a random-index scatter — the TPU scatter cliff)."""
     r = o.shape[0]
-    if differentiable and getattr(scene, "bilinear", False):
-        # BILINEAR diff mode (texel-learning) stays unchunked: the chunk
-        # scan's transpose materializes a per-iteration cotangent for the
-        # texel atlas — f32[chunks, K, 3] whose trailing 3 pads 42x under
-        # TPU tiling (measured 19.8 GB at K=2.4M texels, chunks=16).  The
-        # nearest-tap parity mode gathers the PACKED u32 atlas (no float
-        # cotangent) and chunks fine.
-        compaction_chunks = 1
-    elif compaction_chunks is None:
+    if compaction_chunks is None:
         # grad mode prefers coarser chunks: the backward replays every live
         # chunk, so per-chunk fixed costs weigh double (v5e fwd+bwd sweep:
         # 16 -> 4.41, 48 -> 4.26, 8 -> 4.14 Mrays/s)
