@@ -8,10 +8,11 @@ Texel-gradient caveat (recorded in the output's `detail.texel_grads`): this
 bench renders in the reference-parity NEAREST-tap mode, whose texel fetch
 goes through the PACKED u32 atlas — an integer path that carries no
 tangents, so the `texels` leaf receives zero gradient here.  Texture
-learning uses bilinear mode (scene compile `bilinear=True`), where texel
-gradients flow and are FD-validated (tests/test_diff.py
-test_texel_gradients_flow); bilinear diff renders unchunked (see
-render/pathtracer.sample_radiance) and benches ~proportionally slower.
+learning uses bilinear mode (BENCH_BILINEAR=1, scene compile
+`bilinear=True`), where texel gradients flow and are FD-validated; since
+r4 bilinear diff runs with full compaction chunking too — the texel tap is
+deferred out of the chunk scans (pathtracer._bounce_step defer_tex), so
+the scan transposes never stack atlas cotangents.
 
 Prints ONE JSON line like bench.py.  Rays counted = path segments of the
 forward pass (the backward pass re-traverses the same segments via

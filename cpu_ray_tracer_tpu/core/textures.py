@@ -20,37 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-
-@jax.custom_vjp
-def _gather_rgb(texels: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """texels[idx] ([K, 3] f32, [N] i32 -> [N, 3]) with a RANK-1 backward.
-
-    The autodiff transpose of a row gather is a multi-lane scatter-add at
-    random indices — the measured TPU scatter cliff (78 ms for [R, 3] at
-    R=921600 vs 4 ms for a rank-1 scatter, docs/ROOFLINE.md).  This custom
-    VJP scatter-adds the cotangent through FLATTENED [K*3] indices instead,
-    which stays on the fast rank-1 path; that is what makes bilinear
-    (texture-learning) mode benchable at full resolution (VERDICT r3 ask #3).
-    """
-    return texels[idx]
+from cpu_ray_tracer_tpu.core import vecmath as vm
 
 
-def _gather_rgb_fwd(texels, idx):
-    return texels[idx], (idx, texels.shape[0])
-
-
-def _gather_rgb_bwd(res, g):
-    idx, k = res
-    flat_idx = idx.reshape(-1)[:, None] * 3 + jnp.arange(3, dtype=idx.dtype)[None, :]
-    gt = (
-        jnp.zeros((k * 3,), g.dtype)
-        .at[flat_idx.reshape(-1)]
-        .add(g.reshape(-1))
-    )
-    return gt.reshape(k, 3), None
-
-
-_gather_rgb.defvjp(_gather_rgb_fwd, _gather_rgb_bwd)
+# Texel gathers in the differentiable pipeline go through
+# vecmath.gather_rows3 / vecmath._gather3_flat: a rank-1 backward (the
+# autodiff transpose of a row gather is a multi-lane scatter-add at random
+# indices — the measured 78 ms TPU scatter cliff), and a FLAT [K*3]
+# cotangent so differentiated scan bodies stack unpadded instances instead
+# of 42.7x-padded [K, 3] ones (the r3 19.8 GB bilinear-diff chunking OOM).
+gather_rgb_flat = vm._gather3_flat
 
 
 @struct.dataclass
@@ -158,10 +137,10 @@ def sample_bilinear(atlas: TextureAtlas, tex_id: jnp.ndarray, u: jnp.ndarray, v:
     x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    t00 = _gather_rgb(atlas.texels, off + x0i + y0i * w)
-    t10 = _gather_rgb(atlas.texels, off + x1i + y0i * w)
-    t01 = _gather_rgb(atlas.texels, off + x0i + y1i * w)
-    t11 = _gather_rgb(atlas.texels, off + x1i + y1i * w)
+    t00 = vm.gather_rows3(atlas.texels, off + x0i + y0i * w)
+    t10 = vm.gather_rows3(atlas.texels, off + x1i + y0i * w)
+    t01 = vm.gather_rows3(atlas.texels, off + x0i + y1i * w)
+    t11 = vm.gather_rows3(atlas.texels, off + x1i + y1i * w)
     tx = tx[..., None]
     ty = ty[..., None]
     top = t00 * (1 - tx) + t10 * tx

@@ -171,3 +171,47 @@ def mat_inverted_no_scale(m: np.ndarray) -> np.ndarray:
 
 def mat_inverted(m: np.ndarray) -> np.ndarray:
     return np.linalg.inv(m).astype(np.float32)
+
+
+# --- flat-cotangent row gather -------------------------------------------
+# For [N, 3] tables gathered inside DIFFERENTIATED lax.scan bodies (chunked
+# bounces): a scan transpose stacks one cotangent instance of every
+# closed-over operand per iteration, and a [N, 3] f32 cotangent pads 42.7x
+# under TPU (8, 128) tiling — measured 342 MB per instance at N=10952 tris
+# x (deep=4, chunks=16) iterations, the r4 bilinear fwd+bwd OOM.  Gathering
+# through a FLAT [N*3] view keeps every stacked cotangent unpadded; the
+# single reshape back to [N, 3] (and its padded instance) happens once,
+# outside all scans, where the flat views are CSE'd.
+
+import jax as _jax
+
+
+@_jax.custom_vjp
+def _gather3_flat(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """flat[3*idx + (0,1,2)] ([N*3] f32, [...] i32 -> [..., 3])."""
+    fi = idx[..., None] * 3 + jnp.arange(3, dtype=idx.dtype)
+    return flat[fi]
+
+
+def _gather3_flat_fwd(flat, idx):
+    return _gather3_flat(flat, idx), (idx, flat.shape[0])
+
+
+def _gather3_flat_bwd(res, g):
+    idx, n3 = res
+    # rank-1 scatter-add (multi-lane scatters hit the measured TPU cliff:
+    # 78 ms vs 4 ms at R=921600 — docs/ROOFLINE.md)
+    fi = idx.reshape(-1)[:, None] * 3 + jnp.arange(3, dtype=idx.dtype)[None, :]
+    gt = jnp.zeros((n3,), g.dtype).at[fi.reshape(-1)].add(g.reshape(-1))
+    return gt, None
+
+
+_gather3_flat.defvjp(_gather3_flat_fwd, _gather3_flat_bwd)
+
+
+def gather_rows3(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for a differentiable [N, 3] table, flat-cotangent backward.
+
+    Identical forward values to `table[idx]`; use for any gather of a
+    PARAMETER table that sits inside a differentiated scan body."""
+    return _gather3_flat(table.reshape(-1), idx)

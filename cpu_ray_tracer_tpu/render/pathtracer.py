@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from cpu_ray_tracer_tpu import constants
 from cpu_ray_tracer_tpu.core import camera as cam_mod
 from cpu_ray_tracer_tpu.core import rng as rng_mod
+from cpu_ray_tracer_tpu.core import textures as tex_mod
 from cpu_ray_tracer_tpu.ops.traverse_bvh import ray_octants
 from cpu_ray_tracer_tpu.render import common
 from cpu_ray_tracer_tpu.scene import query
@@ -271,7 +272,7 @@ def _compaction_perm(scene: DeviceScene, o, d, alive, locus=None, allow_scatter=
 
 def _bounce_step(
     scene, nearest, depth_limit, use_tcap, t_cap, depth, s,
-    capped=False, tap_chunks=1,
+    capped=False, tap_chunks=1, defer_tex=False,
 ):
     """Advance every ray in `s` one path segment (any batch size).
 
@@ -284,7 +285,18 @@ def _bounce_step(
     is spatially coherent; bounce-depth calls are already chunked by
     depth_body so they pass 1.  Chunking only the tap (not traversal)
     keeps kernel tile composition — and thus t-tie resolution on shared
-    triangle edges — identical for any chunk count."""
+    triangle edges — identical for any chunk count.
+
+    `defer_tex` (bilinear diff mode): do NOT gather texels here — record
+    the 4 bilinear tap indices + 2 lerp weights ("tap_idx" [W, 4] i32,
+    "tap_w" [W, 2] f32 in the returned dict) and use albedo = 1 on
+    textured lanes; the caller multiplies the texture factor into
+    throughput at depth width, OUTSIDE the chunk scans (see
+    sample_radiance — this is what makes compaction chunking affordable
+    under texture-learning grads: the scan transpose otherwise
+    materializes one atlas cotangent per chunk iteration).  Albedo is a
+    purely multiplicative per-bounce factor on throughput (lobe choice
+    and direction never read it), so the deferral is exact."""
     alive = s["alive"]
     if capped and use_tcap:
         res = nearest(scene, s["o"], s["d"], t0=t_cap, mask=alive, sort_rays=False)
@@ -316,7 +328,31 @@ def _bounce_step(
     normal, uv, mat_id = query.get_hit_info(scene, res, point, s["d"])
     mf = query.material_fields(scene, mat_id)
     w = mat_id.shape[0]
-    if tap_chunks > 1 and w % tap_chunks == 0:
+    if defer_tex:
+        # bilinear tap indices/weights only (sample_bilinear's address
+        # math on the fused per-ray table fields); gather deferred
+        textured = mf["tex_id"] >= 0
+        tw, th = mf["tex_w"], mf["tex_h"]
+        uu = jnp.clip(uv[..., 0], 0.0, 1.0)
+        vv = 1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)
+        fx = uu * tw.astype(jnp.float32) - 0.5
+        fy = vv * th.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        tap_tx, tap_ty = fx - x0, fy - y0
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, tw - 1)
+        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, tw - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, th - 1)
+        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, th - 1)
+        off = mf["tex_off"]
+        taps = (
+            off + x0i + y0i * tw,
+            off + x1i + y0i * tw,
+            off + x0i + y1i * tw,
+            off + x1i + y1i * tw,
+        )
+        albedo = jnp.where(textured[..., None], 1.0, mf["albedo"])
+    elif tap_chunks > 1 and w % tap_chunks == 0:
 
         def tap_body(_, args):
             mid_c, uv_c, obj_c, pt_c, mf_c = args
@@ -381,7 +417,7 @@ def _bounce_step(
     new_o = point + new_d * EPS
     inside = jnp.where(take_refract, ~s["inside"], jnp.zeros_like(s["inside"]))
 
-    return dict(
+    out = dict(
         o=jnp.where(surf[..., None], new_o, s["o"]),
         d=jnp.where(surf[..., None], new_d, s["d"]),
         seed=seed,
@@ -395,6 +431,18 @@ def _bounce_step(
         pixel=s["pixel"],
         locus=jnp.where(surf, res["tri_idx"], s["locus"]),
     )
+    if defer_tex:
+        # only lanes that BOUNCE off a textured surface carry a tap: light
+        # hits / misses / dead lanes never have albedo multiplied into
+        # throughput, so their deferred factor is exactly 1 and the
+        # estimator is unchanged.  Records are six 1-D arrays (_TAP_KEYS
+        # note: trailing dims would pad 42-128x when stacked over scans).
+        rec = surf & textured
+        for k, v in zip(_TAP_KEYS[:4], taps):
+            out[k] = jnp.where(rec, v, -1)
+        out["tap_tx"] = jnp.where(rec, tap_tx, 0.0)
+        out["tap_ty"] = jnp.where(rec, tap_ty, 0.0)
+    return out
 
 
 def _use_wavefront(scene, differentiable: bool) -> bool:
@@ -615,6 +663,87 @@ def _sample_radiance_wavefront(
     )
 
 
+# deferred-tap record keys emitted by _bounce_step in defer_tex mode: four
+# tap indices (-1 = no tap) + two lerp weights, all 1-D [W] arrays.  The
+# 1-D shape is load-bearing: these stack across the depth scan ([deep, W]
+# — W a multiple of 128 pads ZERO), where any trailing small dim would pay
+# the TPU tile padding (measured: [deep, R, 4, 1] residuals padded 128x to
+# 7.03 GB in the first chunked-bilinear attempt).
+_TAP_KEYS = ("tap_i0", "tap_i1", "tap_i2", "tap_i3", "tap_tx", "tap_ty")
+
+
+def _bilerp_weights(tx, ty):
+    return (1 - tx) * (1 - ty), tx * (1 - ty), (1 - tx) * ty, tx * ty
+
+
+def _tap_channels(texels_flat, i0, i1, i2, i3, tx, ty):
+    """Per-channel bilinear texture factor from flat tap records; every
+    intermediate is a 1-D [W] array (see _TAP_KEYS note)."""
+    valid = i0 >= 0
+    ws = _bilerp_weights(tx, ty)
+    out = []
+    for c in range(3):
+        acc = jnp.zeros_like(tx)
+        for i, w in zip((i0, i1, i2, i3), ws):
+            acc = acc + texels_flat[jnp.maximum(i, 0) * 3 + c] * w
+        out.append(jnp.where(valid, acc, 1.0))
+    return out
+
+
+@jax.custom_vjp
+def _apply_tap_factor(tp, texels_flat, i0, i1, i2, i3, tx, ty):
+    """throughput [W, 3] * deferred bilinear texture factor (1 on tapless
+    lanes).  Runs at depth width OUTSIDE the chunk scans but INSIDE the
+    depth scan, so the custom VJP exists to pin the residual shapes: only
+    the 1-D records and three 1-D throughput channel slices are saved
+    (default AD would stack 42.7x-padded [W, 4, 3] gather residuals per
+    depth iteration — the measured 38.9 GB chunked-bilinear OOM)."""
+    f0, f1, f2 = _tap_channels(texels_flat, i0, i1, i2, i3, tx, ty)
+    return jnp.stack([tp[:, 0] * f0, tp[:, 1] * f1, tp[:, 2] * f2], axis=1)
+
+
+def _apply_tap_factor_fwd(tp, texels_flat, i0, i1, i2, i3, tx, ty):
+    out = _apply_tap_factor(tp, texels_flat, i0, i1, i2, i3, tx, ty)
+    res = (tp[:, 0], tp[:, 1], tp[:, 2], texels_flat, i0, i1, i2, i3, tx, ty)
+    return out, res
+
+
+def _apply_tap_factor_bwd(res, g):
+    tp0, tp1, tp2, texels_flat, i0, i1, i2, i3, tx, ty = res
+    valid = i0 >= 0
+    ws = _bilerp_weights(tx, ty)
+    idx = tuple(jnp.maximum(i, 0) for i in (i0, i1, i2, i3))
+    taps = [
+        [texels_flat[i * 3 + c] for c in range(3)] for i in idx
+    ]  # [4][3] of [W]
+    fs = [
+        jnp.where(valid, sum(t[c] * w for t, w in zip(taps, ws)), 1.0)
+        for c in range(3)
+    ]
+    gs = (g[:, 0], g[:, 1], g[:, 2])
+    tps = (tp0, tp1, tp2)
+    d_tp = jnp.stack([gs[c] * fs[c] for c in range(3)], axis=1)
+    # gtp_c = dL/d(factor_c); zero where no tap (factor pinned to 1)
+    gtp = [jnp.where(valid, gs[c] * tps[c], 0.0) for c in range(3)]
+    # texel cotangents: 12 rank-1 contributions through ONE flat scatter-add
+    flat_ids = jnp.concatenate(
+        [idx[j] * 3 + c for j in range(4) for c in range(3)]
+    )
+    flat_cts = jnp.concatenate([gtp[c] * ws[j] for j in range(4) for c in range(3)])
+    d_tex = (
+        jnp.zeros_like(texels_flat).at[flat_ids].add(flat_cts)
+    )
+    # weight cotangents d_wj = sum_c gtp_c * tap_jc, then chain to (tx, ty)
+    dw = [sum(gtp[c] * taps[j][c] for c in range(3)) for j in range(4)]
+    d_tx = dw[0] * -(1 - ty) + dw[1] * (1 - ty) + dw[2] * -ty + dw[3] * ty
+    d_ty = dw[0] * -(1 - tx) + dw[1] * -tx + dw[2] * (1 - tx) + dw[3] * tx
+    zero = jnp.where(valid, 1.0, 0.0)
+    return (d_tp, d_tex, None, None, None, None, d_tx * zero, d_ty * zero)
+
+
+_apply_tap_factor.defvjp(_apply_tap_factor_fwd, _apply_tap_factor_bwd)
+
+
 def _sort_state(scene, st, diff=False):
     perm = _compaction_perm(
         scene,
@@ -629,33 +758,49 @@ def _sort_state(scene, st, diff=False):
     return _permute_state(st, perm)
 
 
-def _make_depth_body(scene, bounce, chunk, diff=False):
+def _make_depth_body(scene, bounce, chunk, diff=False, texels_flat=None):
+    """`texels_flat` non-None = deferred-tap bilinear diff mode: the bounce
+    emits tap records through the chunk scan (stacked outputs — small), and
+    the texture factor multiplies throughput here at depth width, outside
+    the scan, so the scan transpose never accumulates atlas cotangents."""
+    defer_tex = texels_flat is not None
+
     def depth_body(carry, depth):
         """One bounce depth at the carried state's (static) width: global
         compaction resort, then chunked bounce with dead-chunk skipping."""
         state, rays_traced = carry
         w = state["alive"].shape[0]
         n_chunks = max(w // chunk, 1)
+        cw = w // n_chunks
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))
         rays_traced = rays_traced + n_alive
         if n_chunks > 1:
             state = _sort_state(scene, state, diff)
         chunked = {
-            k: state[k].reshape(n_chunks, w // n_chunks, *state[k].shape[1:])
+            k: state[k].reshape(n_chunks, cw, *state[k].shape[1:])
             for k in _RAY_KEYS
         }
         # per-chunk live counts (exact skip: dead rays never resurrect)
         chunk_alive = jnp.sum(
-            state["alive"].reshape(n_chunks, w // n_chunks).astype(jnp.int32),
+            state["alive"].reshape(n_chunks, cw).astype(jnp.int32),
             axis=1,
         )
+
+        def dead_chunk(p):
+            out = dict(p)
+            if defer_tex:
+                for k in _TAP_KEYS[:4]:
+                    out[k] = jnp.full((cw,), -1, jnp.int32)
+                out["tap_tx"] = jnp.zeros((cw,), jnp.float32)
+                out["tap_ty"] = jnp.zeros((cw,), jnp.float32)
+            return out
 
         def chunk_body(_, inp):
             piece, calive = inp
             out = jax.lax.cond(
                 calive > 0,
                 lambda p: bounce(depth, p, capped=True),
-                lambda p: p,
+                dead_chunk,
                 piece,
             )
             return None, out
@@ -664,6 +809,11 @@ def _make_depth_body(scene, bounce, chunk, diff=False):
         state = {
             k: chunked[k].reshape(w, *chunked[k].shape[2:]) for k in _RAY_KEYS
         }
+        if defer_tex:
+            state["throughput"] = _apply_tap_factor(
+                state["throughput"], texels_flat,
+                *(chunked[k].reshape(w) for k in _TAP_KEYS),
+            )
         return (state, rays_traced), None
 
     return depth_body
@@ -741,7 +891,12 @@ def sample_radiance(
     chunk INPUTS instead of the shading intermediates whose [.., 1]
     trailing dims padded 128x and OOM'd in r2, and the compaction permutes
     go through a custom-vjp gather whose backward is the INVERSE gather
-    (never a random-index scatter — the TPU scatter cliff)."""
+    (never a random-index scatter — the TPU scatter cliff).  Bilinear
+    (texture-learning) scenes chunk too since r4: the texel tap is
+    deferred out of every chunk scan as (index, weight) records and
+    applied at depth width (_bounce_step defer_tex / _tap_factor), with a
+    flat [K*3] atlas view so scan transposes accumulate unpadded
+    cotangents (core/textures.gather_rgb_flat)."""
     r = o.shape[0]
     if compaction_chunks is None:
         # grad mode prefers coarser chunks: the backward replays every live
@@ -781,8 +936,20 @@ def sample_radiance(
 
     nearest = query.find_nearest_diff if differentiable else query.find_nearest
     use_tcap, t_cap = _tcap_setup(scene, differentiable)
+    # bilinear diff (texture learning): defer the texel tap out of every
+    # chunk scan (see _bounce_step defer_tex) — the flat [K*3] texel view is
+    # reshaped ONCE here so scan transposes accumulate unpadded flat
+    # cotangents (textures.gather_rgb_flat docstring has the 19.8 GB story)
+    defer_tex = (
+        differentiable
+        and getattr(scene, "bilinear", False)
+        and not isinstance(scene, query.prim_scene.PrimScene)
+        and int(scene.atlas.texels.shape[0]) < (1 << 24)
+    )
+    texels_flat = scene.atlas.texels.reshape(-1) if defer_tex else None
     bounce = functools.partial(
-        _bounce_step, scene, nearest, depth_limit, use_tcap, t_cap
+        _bounce_step, scene, nearest, depth_limit, use_tcap, t_cap,
+        defer_tex=defer_tex,
     )
     if differentiable:
         # rematerialize every bounce: backward recomputes traversal +
@@ -797,15 +964,21 @@ def sample_radiance(
             return jax.checkpoint(fn)(depth, s)
 
     rays_traced = jnp.int32(r)
-    state = bounce(0, state, tap_chunks=compaction_chunks)
-
+    state = bounce(0, state, tap_chunks=1 if defer_tex else compaction_chunks)
+    if defer_tex:
+        state["throughput"] = _apply_tap_factor(
+            state["throughput"], texels_flat,
+            *(state.pop(k) for k in _TAP_KEYS),
+        )
 
     # Bounces 1..depth_limit as a scan over depth, each a scan over chunks:
     # `bounce` is traced exactly twice (full-width + chunk-width), keeping
     # the program (and its Mosaic kernel count) small — a python-unrolled
     # version compiled 20+ identical pallas kernels and took minutes.
     chunk = r // compaction_chunks
-    depth_body = _make_depth_body(scene, bounce, chunk, diff=differentiable)
+    depth_body = _make_depth_body(
+        scene, bounce, chunk, diff=differentiable, texels_flat=texels_flat
+    )
 
     # Depth 1 runs at full width (typically >50% of paths survive the
     # primary hit); depths >= 2 go through the liveness cascade (see
@@ -829,7 +1002,10 @@ def sample_radiance(
         sky_w = jnp.where(missed[..., None], tp, 0.0)
         return sky_w * query.sky_color(scene, d)
 
-    if compaction_chunks > 1 and r % compaction_chunks == 0:
+    # defer_tex: the bilinear sky tap gathers the texel atlas, so it must
+    # stay OUTSIDE the chunk scan (one [K,3] cotangent instead of one per
+    # chunk iteration); the full-width gather runs once per trace
+    if compaction_chunks > 1 and r % compaction_chunks == 0 and not defer_tex:
         ck = lambda x: x.reshape(compaction_chunks, r // compaction_chunks, *x.shape[1:])
 
         def sky_body(_, args):

@@ -218,9 +218,12 @@ def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=Non
         d_mt = jnp.einsum("rij,rj->ri", mi[:, :3, :3], d)
     else:
         o_mt, d_mt = o, d
-    v0 = scene.tris.v0[tid]
-    e1 = scene.tris.e1[tid]
-    e2 = scene.tris.e2[tid]
+    # flat-cotangent gathers: these sit inside differentiated chunk scans,
+    # where a plain [T, 3] gather's transpose stacks 42.7x-padded cotangent
+    # instances per scan iteration (vm.gather_rows3 docstring)
+    v0 = vm.gather_rows3(scene.tris.v0, tid)
+    e1 = vm.gather_rows3(scene.tris.e1, tid)
+    e2 = vm.gather_rows3(scene.tris.e2, tid)
     h = jnp.cross(d_mt, e2)
     a = vm.dot(e1, h)
     f = 1.0 / jnp.where(jnp.abs(a) < np.float32(1e-20), np.float32(1e-20), a)
