@@ -84,7 +84,7 @@ def main():
     alive = jnp.ones((r,), jnp.bool_)
     state = dict(
         o=o, d=d, seed=jnp.arange(r, dtype=jnp.uint32),
-        throughput=jnp.ones((r, 3)), radiance=jnp.zeros((r, 3)),
+        throughput=jnp.ones((r, 3)), lit=jnp.zeros((r,), jnp.bool_),
         inside=jnp.zeros((r,), jnp.bool_), alive=alive,
         traversed=jnp.zeros((r,), jnp.int32), tested=jnp.zeros((r,), jnp.int32),
         missed=jnp.zeros((r,), jnp.bool_), pixel=jnp.arange(r, dtype=jnp.int32),

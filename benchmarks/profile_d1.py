@@ -63,7 +63,7 @@ def main():
         wf = wavefront_pt.trace(scene, rays.o, rays.d, seeds, 1, 5, interpret=False)
         return dict(
             o=wf["o"], d=wf["d"], seed=wf["seed"], throughput=wf["tp"],
-            radiance=jnp.zeros((r, 3), jnp.float32), inside=wf["inside"],
+            lit=jnp.zeros((r,), jnp.bool_), inside=wf["inside"],
             alive=wf["alive"], missed=wf["missed"],
             traversed=wf["traversed"], tested=wf["tested"],
             pixel=jnp.arange(r, dtype=jnp.int32), locus=wf["locus"],
@@ -95,7 +95,7 @@ def main():
         (st2, rt), _ = jax.lax.scan(
             depth_body, (st, jnp.int32(0)), jnp.arange(1, 2)
         )
-        return st2["radiance"].sum() + st2["o"].sum()
+        return st2["throughput"].sum() + st2["o"].sum()
 
     timeit("depth_body d1 (sort+scan)", jax.jit(f_depth_body), state)
 
@@ -120,7 +120,7 @@ def main():
             return None, out
 
         _, chunked = jax.lax.scan(chunk_body, None, (chunked, chunk_alive))
-        return chunked["radiance"].sum() + chunked["o"].sum()
+        return chunked["throughput"].sum() + chunked["o"].sum()
 
     timeit("chunked bounce scan (sorted in)", jax.jit(f_scan_only), sorted_state)
 
@@ -151,7 +151,7 @@ def main():
     f_full = jax.jit(
         lambda st: pathtracer._bounce_step(
             scene, query.find_nearest, 5, False, None, jnp.int32(1), st
-        )["radiance"].sum()
+        )["throughput"].sum()
     )
     timeit("bounce_step full width (no chunks)", f_full, sorted_state)
 

@@ -131,7 +131,7 @@ def main():
     # production resort: key+argsort+ONE packed [R,24] gather
     state = dict(
         o=ob, d=db,
-        throughput=jnp.ones_like(ob), radiance=jnp.zeros_like(ob),
+        throughput=jnp.ones_like(ob), lit=jnp.zeros((o.shape[0],), jnp.bool_),
         missed=jnp.zeros((o.shape[0],), jnp.bool_),
         seed=jnp.arange(o.shape[0], dtype=jnp.uint32),
         inside=jnp.zeros((o.shape[0],), jnp.bool_),

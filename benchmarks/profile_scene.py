@@ -113,7 +113,7 @@ def profile(name, xml, camkw):
     state = dict(
         o=rays.o, d=rays.d, seed=seeds,
         throughput=jnp.ones((n, 3), jnp.float32),
-        radiance=jnp.zeros((n, 3), jnp.float32),
+        lit=jnp.zeros((n,), jnp.bool_),
         inside=jnp.zeros((n,), jnp.bool_), alive=jnp.ones((n,), jnp.bool_),
         missed=jnp.zeros((n,), jnp.bool_),
         traversed=jnp.zeros((n,), jnp.int32), tested=jnp.zeros((n,), jnp.int32),

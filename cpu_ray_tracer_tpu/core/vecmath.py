@@ -188,9 +188,12 @@ import jax as _jax
 
 @_jax.custom_vjp
 def _gather3_flat(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """flat[3*idx + (0,1,2)] ([N*3] f32, [...] i32 -> [..., 3])."""
-    fi = idx[..., None] * 3 + jnp.arange(3, dtype=idx.dtype)
-    return flat[fi]
+    """flat.reshape(-1, 3)[idx] ([N*3] f32, [...] i32 -> [..., 3]).
+
+    The forward is a plain ROW gather (one index per row — a 3-index flat
+    gather here measured 1.9x slower end-to-end on the nearest-mode
+    fwd+bwd bench); only the COTANGENT is flat."""
+    return flat.reshape(-1, 3)[idx]
 
 
 def _gather3_flat_fwd(flat, idx):

@@ -55,10 +55,14 @@ def _default_chunks() -> int:
     at the 921600-ray headline (12.4 -> 12.9 Mrays/s vs 32)."""
     return int(_os.environ.get("CRT_COMPACTION_CHUNKS", "48"))
 
-# per-ray state keys permuted by the compaction sort
+# per-ray state keys permuted by the compaction sort.  No "radiance"
+# lane: a path emits at most ONCE (light hit XOR sky miss), dead lanes are
+# never mutated, so emission is reconstructed post-loop from the frozen
+# throughput and two flag bits (lit/missed) — 3 fewer f32 lanes in every
+# compaction permute and chunk scan.
 _RAY_KEYS = (
-    "o", "d", "seed", "throughput", "radiance", "inside", "alive",
-    "missed", "traversed", "tested", "pixel", "locus",
+    "o", "d", "seed", "throughput", "inside", "alive",
+    "missed", "lit", "traversed", "tested", "pixel", "locus",
 )
 
 
@@ -96,7 +100,7 @@ def _inverse_perm(perm):
 
 
 def _permute_state_diff(state: dict, perm) -> dict:
-    """Differentiable-mode permutation: float fields ride one [R, 12] pack
+    """Differentiable-mode permutation: float fields ride one [R, 9] pack
     through the custom-vjp gather (_apply_perm); integer/flag fields ride a
     separate int32 [R, 6] gather, which autodiff ignores entirely (integer
     arrays carry no tangents) — no bitcast ever meets a differentiated
@@ -104,13 +108,14 @@ def _permute_state_diff(state: dict, perm) -> dict:
     bc = jax.lax.bitcast_convert_type
     inv = _inverse_perm(perm)
     fl = jnp.concatenate(
-        [state["o"], state["d"], state["throughput"], state["radiance"]], axis=1
+        [state["o"], state["d"], state["throughput"]], axis=1
     )
     fl = _apply_perm(fl, perm, inv)
     flags = (
         state["inside"].astype(jnp.int32)
         + 2 * state["alive"].astype(jnp.int32)
         + 4 * state["missed"].astype(jnp.int32)
+        + 8 * state["lit"].astype(jnp.int32)
     )
     ints = jnp.stack(
         [
@@ -128,11 +133,11 @@ def _permute_state_diff(state: dict, perm) -> dict:
         o=fl[:, 0:3],
         d=fl[:, 3:6],
         throughput=fl[:, 6:9],
-        radiance=fl[:, 9:12],
         seed=bc(ints[:, 0], jnp.uint32),
         inside=(pflags & 1) > 0,
         alive=(pflags & 2) > 0,
         missed=(pflags & 4) > 0,
+        lit=(pflags & 8) > 0,
         traversed=ints[:, 2],
         tested=ints[:, 3],
         pixel=ints[:, 4],
@@ -143,12 +148,12 @@ def _permute_state_diff(state: dict, perm) -> dict:
 def _permute_state(state: dict, perm) -> dict:
     """Apply one permutation to the whole per-ray state with a SINGLE gather:
     all fields are packed (ints bitcast to f32 — a gather only moves bytes)
-    into one [R, 18] array, gathered once, then split back.  TPU gathers
+    into one [R, 15] array, gathered once, then split back.  TPU gathers
     cost ~per-index, so one wide gather beats a dozen 1-3-lane ones —
     but stay at or under 24 lanes: the TPU row-gather lowering has a
     cliff at 25+ lanes (measured 10.4 ms at [R,24] vs 37.7 ms at [R,25]
     for R=921600), which is why the bool flags share one bit-packed lane
-    and the miss record is a single bit (see sample_radiance).
+    and the miss/lit records are single bits (see _RAY_KEYS note).
 
     `perm` is either gather indices (sources), or ("scatter", pos) with
     DESTINATION indices (the counting-sort path computes the inverse
@@ -158,38 +163,38 @@ def _permute_state(state: dict, perm) -> dict:
         state["inside"].astype(jnp.int32)
         + 2 * state["alive"].astype(jnp.int32)
         + 4 * state["missed"].astype(jnp.int32)
+        + 8 * state["lit"].astype(jnp.int32)
     )
     cols = [
         state["o"],  # 0:3
         state["d"],  # 3:6
         state["throughput"],  # 6:9
-        state["radiance"],  # 9:12
-        bc(state["seed"], jnp.float32)[..., None],  # 12
-        bc(flags, jnp.float32)[..., None],  # 13 (inside|alive|missed bits)
-        bc(state["traversed"], jnp.float32)[..., None],  # 14
-        bc(state["tested"], jnp.float32)[..., None],  # 15
-        bc(state["pixel"], jnp.float32)[..., None],  # 16
-        bc(state["locus"], jnp.float32)[..., None],  # 17
+        bc(state["seed"], jnp.float32)[..., None],  # 9
+        bc(flags, jnp.float32)[..., None],  # 10 (inside|alive|missed|lit)
+        bc(state["traversed"], jnp.float32)[..., None],  # 11
+        bc(state["tested"], jnp.float32)[..., None],  # 12
+        bc(state["pixel"], jnp.float32)[..., None],  # 13
+        bc(state["locus"], jnp.float32)[..., None],  # 14
     ]
     stacked = jnp.concatenate(cols, axis=1)
     if isinstance(perm, tuple) and perm[0] == "scatter":
         packed = jnp.zeros_like(stacked).at[perm[1]].set(stacked, unique_indices=True)
     else:
         packed = stacked[perm]
-    pflags = bc(packed[:, 13], jnp.int32)
+    pflags = bc(packed[:, 10], jnp.int32)
     return dict(
         o=packed[:, 0:3],
         d=packed[:, 3:6],
         throughput=packed[:, 6:9],
-        radiance=packed[:, 9:12],
-        seed=bc(packed[:, 12], jnp.uint32),
+        seed=bc(packed[:, 9], jnp.uint32),
         inside=(pflags & 1) > 0,
         alive=(pflags & 2) > 0,
         missed=(pflags & 4) > 0,
-        traversed=bc(packed[:, 14], jnp.int32),
-        tested=bc(packed[:, 15], jnp.int32),
-        pixel=bc(packed[:, 16], jnp.int32),
-        locus=bc(packed[:, 17], jnp.int32),
+        lit=(pflags & 8) > 0,
+        traversed=bc(packed[:, 11], jnp.int32),
+        tested=bc(packed[:, 12], jnp.int32),
+        pixel=bc(packed[:, 13], jnp.int32),
+        locus=bc(packed[:, 14], jnp.int32),
     )
 
 
@@ -318,7 +323,6 @@ def _bounce_step(
     miss = (~(obj >= 0)) & alive
 
     missed = s["missed"] | miss
-    radiance = s["radiance"]
     # depth cutoff AFTER the miss/sky record (renderer.cpp:52-55)
     # (jnp ops: python `~False` is -2 and would int-promote the mask)
     past_limit = jnp.asarray(depth >= depth_limit)
@@ -369,10 +373,11 @@ def _bounce_step(
         albedo = albedo.reshape(w, 3)
     else:
         albedo = query.get_albedo(scene, mat_id, uv, obj=obj, point=point, fields=mf)
+    # light hit: the ray DIES here with throughput frozen, so the emission
+    # throughput*light_color is reconstructed post-loop from the lit bit
+    # (see _RAY_KEYS note) — no radiance lanes ride the state
     is_light = mf["is_light"] & hit
-    radiance = radiance + jnp.where(
-        is_light[..., None], s["throughput"] * scene.light_color, 0.0
-    )
+    lit = s["lit"] | is_light
     surf = hit & (~is_light)
 
     refl = mf["reflectivity"]
@@ -422,10 +427,10 @@ def _bounce_step(
         d=jnp.where(surf[..., None], new_d, s["d"]),
         seed=seed,
         throughput=throughput,
-        radiance=radiance,
         inside=inside,
         alive=surf,
         missed=missed,
+        lit=lit,
         traversed=s["traversed"] + res["traversed"],
         tested=s["tested"] + res["tested"],
         pixel=s["pixel"],
@@ -608,10 +613,10 @@ def _sample_radiance_wavefront(
             d=wf["d"],
             seed=wf["seed"],
             throughput=wf["tp"],
-            radiance=jnp.zeros((r, 3), jnp.float32),
             inside=wf["inside"],
             alive=wf["alive"],
             missed=jnp.zeros((r,), jnp.bool_),
+            lit=jnp.zeros((r,), jnp.bool_),
             traversed=traversed,
             tested=tested,
             pixel=jnp.arange(r, dtype=jnp.int32),
@@ -643,7 +648,9 @@ def _sample_radiance_wavefront(
                 scene, state, rays_traced,
                 jnp.arange(next_d, depth_limit + 1), chunk, depth_body, r,
             )
-        tail_rad = state["radiance"] + _chunked_contrib(
+        tail_rad = jnp.where(
+            state["lit"][..., None], state["throughput"] * scene.light_color, 0.0
+        ) + _chunked_contrib(
             sky_fn, state["missed"],
             (state["missed"], state["throughput"], state["d"]), chunks,
         )
@@ -676,16 +683,22 @@ def _bilerp_weights(tx, ty):
     return (1 - tx) * (1 - ty), tx * (1 - ty), (1 - tx) * ty, tx * ty
 
 
+def _tap_rows(texels_flat, idx):
+    """[W] tap rows gathered as 3 channel columns (row gather, not a
+    3-index flat gather — one index per row).  Runs only inside
+    _apply_tap_factor's fwd/bwd, where intermediates are residual-free."""
+    t = texels_flat.reshape(-1, 3)[idx]
+    return t[:, 0], t[:, 1], t[:, 2]
+
+
 def _tap_channels(texels_flat, i0, i1, i2, i3, tx, ty):
-    """Per-channel bilinear texture factor from flat tap records; every
-    intermediate is a 1-D [W] array (see _TAP_KEYS note)."""
+    """Per-channel bilinear texture factor from flat tap records."""
     valid = i0 >= 0
     ws = _bilerp_weights(tx, ty)
     out = []
+    taps = [_tap_rows(texels_flat, jnp.maximum(i, 0)) for i in (i0, i1, i2, i3)]
     for c in range(3):
-        acc = jnp.zeros_like(tx)
-        for i, w in zip((i0, i1, i2, i3), ws):
-            acc = acc + texels_flat[jnp.maximum(i, 0) * 3 + c] * w
+        acc = sum(t[c] * w for t, w in zip(taps, ws))
         out.append(jnp.where(valid, acc, 1.0))
     return out
 
@@ -713,9 +726,7 @@ def _apply_tap_factor_bwd(res, g):
     valid = i0 >= 0
     ws = _bilerp_weights(tx, ty)
     idx = tuple(jnp.maximum(i, 0) for i in (i0, i1, i2, i3))
-    taps = [
-        [texels_flat[i * 3 + c] for c in range(3)] for i in idx
-    ]  # [4][3] of [W]
+    taps = [_tap_rows(texels_flat, i) for i in idx]  # [4][3] of [W]
     fs = [
         jnp.where(valid, sum(t[c] * w for t, w in zip(taps, ws)), 1.0)
         for c in range(3)
@@ -919,13 +930,14 @@ def sample_radiance(
         d=d,
         seed=seeds,
         throughput=jnp.ones((r, 3), jnp.float32),
-        radiance=jnp.zeros((r, 3), jnp.float32),
         inside=jnp.zeros((r,), jnp.bool_),
         alive=jnp.ones((r,), jnp.bool_),
-        # deferred sky (see module docstring): a ray misses AT MOST once and
-        # nothing mutates its d/throughput afterwards, so the miss record is
-        # ONE BIT — sky is applied post-loop as missed * throughput * sky(d)
+        # deferred emission (see _RAY_KEYS note): a ray misses (or hits the
+        # light) AT MOST once and nothing mutates its d/throughput
+        # afterwards, so both records are ONE BIT — emission is applied
+        # post-loop as missed*tp*sky(d) + lit*tp*light_color
         missed=jnp.zeros((r,), jnp.bool_),
+        lit=jnp.zeros((r,), jnp.bool_),
         traversed=jnp.zeros((r,), jnp.int32),
         tested=jnp.zeros((r,), jnp.int32),
         pixel=jnp.arange(r, dtype=jnp.int32),
@@ -993,15 +1005,19 @@ def sample_radiance(
             chunk, depth_body, r, diff=differentiable,
         )
 
-    # missed rays' d and throughput are frozen at miss time (dead lanes are
-    # never mutated), so the deferred sky needs no separate miss_d/miss_tp.
-    # The equirect gather is chunked like the texel tap: compaction leaves
-    # absorbed/live rays clustered, so chunks with no missed ray skip the
-    # ~11 ns/ray HBM gather via lax.cond.
+    # terminated rays' d and throughput are frozen at termination time (dead
+    # lanes are never mutated), so the deferred emissions need no separate
+    # copies (see _RAY_KEYS note).  The light emission is a gather-free
+    # multiply — full width.  The equirect sky gather is chunked like the
+    # texel tap: compaction leaves absorbed/live rays clustered, so chunks
+    # with no missed ray skip the ~11 ns/ray HBM gather via lax.cond.
     def sky_contrib(missed, tp, d):
         sky_w = jnp.where(missed[..., None], tp, 0.0)
         return sky_w * query.sky_color(scene, d)
 
+    radiance = jnp.where(
+        state["lit"][..., None], state["throughput"] * scene.light_color, 0.0
+    )
     # defer_tex: the bilinear sky tap gathers the texel atlas, so it must
     # stay OUTSIDE the chunk scan (one [K,3] cotangent instead of one per
     # chunk iteration); the full-width gather runs once per trace
@@ -1021,9 +1037,9 @@ def sample_radiance(
         _, sky = jax.lax.scan(
             sky_body, None, (ck(state["missed"]), ck(state["throughput"]), ck(state["d"]))
         )
-        radiance = state["radiance"] + sky.reshape(r, 3)
+        radiance = radiance + sky.reshape(r, 3)
     else:
-        radiance = state["radiance"] + sky_contrib(
+        radiance = radiance + sky_contrib(
             state["missed"], state["throughput"], state["d"]
         )
     # un-permute radiance to the caller's ray order.  Multi-lane scatters
