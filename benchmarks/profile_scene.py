@@ -66,8 +66,8 @@ def wavefront_gate(scene):
     if int(scene.materials.albedo.shape[0]) > 16:
         return f"material table {int(scene.materials.albedo.shape[0])} > 16"
     atlas = scene.atlas
-    if atlas.packed is None or int(atlas.packed.shape[0]) >= (1 << 24):
-        return f"atlas {int(atlas.packed.shape[0])} texels >= 2^24"
+    if atlas.packed is None or int(atlas.packed.shape[0]) >= (1 << 31):
+        return f"atlas {int(atlas.packed.shape[0])} texels >= 2^31"
     return "eligible"
 
 

@@ -73,8 +73,13 @@ _P_LIGHT_N = 16  # 3: quad normal -light_t[:3,1] (primitives.h:365-369)
 _P_LIGHT_SIZE = 19
 _P_FLOOR_INV_TO = 20
 _P_IOR = 21
-_P_MATS = 24  # + m*13: albedo3, refl, refr, absorption3, is_light, has_tex,
-_MAT_F = 13  #           tex_off, tex_w, tex_h
+_P_MATS = 24  # + m*14: albedo3, refl, refr, absorption3, is_light, has_tex,
+_MAT_F = 14  #           tex_off_hi, tex_off_lo, tex_w, tex_h
+# tex_off rides as TWO f32 fields (hi = off >> 12, lo = off & 0xFFF,
+# recombined exactly in i32 inside the kernel): a single f32 field holds
+# integers exactly only below 2^24, which gated the kernel off for scenes
+# with 4k-HDR skydomes (inside_scene: 23.6M texels).  The split is exact
+# for offsets up to 2^31 (i32 range).
 
 
 def pack_params(scene) -> jnp.ndarray:
@@ -96,7 +101,8 @@ def pack_params(scene) -> jnp.ndarray:
             m.absorption,
             m.is_light[:, None].astype(jnp.float32),
             has_tex[:, None],
-            jnp.where(tid >= 0, atlas.offset[ts], 0).astype(jnp.float32)[:, None],
+            (jnp.where(tid >= 0, atlas.offset[ts], 0) >> 12).astype(jnp.float32)[:, None],
+            (jnp.where(tid >= 0, atlas.offset[ts], 0) & 0xFFF).astype(jnp.float32)[:, None],
             jnp.where(tid >= 0, atlas.width[ts], 1).astype(jnp.float32)[:, None],
             jnp.where(tid >= 0, atlas.height[ts], 1).astype(jnp.float32)[:, None],
         ],
@@ -146,7 +152,7 @@ def _rand_f32(seed):
 
 
 def _kernel(
-    params_ref,  # SMEM f32 [24 + M*13]
+    params_ref,  # SMEM f32 [24 + M*_MAT_F]
     aabb_ref, meta2_ref, links_ref,  # SMEM node tables (accel/pack.py)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM ray tiles
     seed_ref, iflags_ref,  # iflags: bit0 alive, bit1 inside
@@ -539,9 +545,12 @@ def _kernel(
         abs_z = _mat_select(p, mat_id, 7, n_mats)
         is_light_m = _mat_select(p, mat_id, 8, n_mats) > 0.5
         has_tex = _mat_select(p, mat_id, 9, n_mats) > 0.5
-        tex_off = _mat_select(p, mat_id, 10, n_mats)
-        tex_w = _mat_select(p, mat_id, 11, n_mats)
-        tex_h = _mat_select(p, mat_id, 12, n_mats)
+        tex_off_i = (
+            _mat_select(p, mat_id, 10, n_mats).astype(jnp.int32) * 4096
+            + _mat_select(p, mat_id, 11, n_mats).astype(jnp.int32)
+        )
+        tex_w = _mat_select(p, mat_id, 12, n_mats)
+        tex_h = _mat_select(p, mat_id, 13, n_mats)
 
         is_light = is_light_m & hit
         lit = lit | is_light.astype(jnp.int32)
@@ -614,7 +623,7 @@ def _kernel(
         vv_c = 1.0 - jnp.clip(uvy, 0.0, 1.0)
         tx = jnp.clip((uu_c * tex_w).astype(jnp.int32), 0, tex_w.astype(jnp.int32) - 1)
         ty = jnp.clip((vv_c * tex_h).astype(jnp.int32), 0, tex_h.astype(jnp.int32) - 1)
-        texel_idx = tex_off.astype(jnp.int32) + tx + ty * tex_w.astype(jnp.int32)
+        texel_idx = tex_off_i + tx + ty * tex_w.astype(jnp.int32)
         record = surf & has_tex
         tex_out = jnp.where(record, texel_idx, -1)
         alb_x = jnp.where(record, 1.0, alb_x)

@@ -477,8 +477,10 @@ def _use_wavefront(scene, differentiable: bool) -> bool:
         return False
     if int(scene.materials.albedo.shape[0]) > 16:
         return False
+    # tex offsets ride the SMEM param table as exact hi/lo f32 pairs
+    # (wavefront_pt._MAT_F note), so the atlas bound is the i32 range
     atlas = scene.atlas
-    if atlas.packed is None or int(atlas.packed.shape[0]) >= (1 << 24):
+    if atlas.packed is None or int(atlas.packed.shape[0]) >= (1 << 31):
         return False
     if mode == "1":
         return True

@@ -376,13 +376,22 @@ def compile_scene(
         packed = pack_mod.attach_stack_tables(
             packed, host_pack["left"], host_pack["right"], host_pack["axis"]
         )
-        # Wide kernel (r4 SMEM-table rewrite) is opt-in via CRT_WIDE=1: it
-        # measures within ~3% of the binary stack walk on both coherent and
-        # sorted-bounce distributions (kernel_speed.py), with 3.4x fewer
-        # steps but the same leaf-row-bound total.  The r1-r3 sublane-wide
-        # experiment (8 tris on sublanes) measured strictly worse and was
-        # removed in r4 (docs/ROOFLINE.md history).
-        if _os.environ.get("CRT_WIDE", "0") == "1":
+        # Wide kernel selection (CRT_WIDE: "auto" default / "1" force /
+        # "0" off).  On scenes whose BINARY node tables fit SMEM it measures
+        # within ~3% of the binary stack walk (kernel_speed.py: 107.8 vs
+        # 111.2 M primary) — 3.4x fewer steps but the same leaf-row-bound
+        # total — so "auto" keeps the binary walk there.  Its 256 B/wide
+        # node (~32 B/tri) is ~3x the binary tables' density, so "auto"
+        # picks it exactly when the binary tables OVERFLOW the SMEM budget:
+        # measured on the 49.5k-tri uniform_distributed scene (6,635 binary
+        # nodes = 637 KB > 480 KB), the wide walk cuts steps/ray 6x and the
+        # full pass 467 -> 341 ms (1.97 -> 2.70 Mrays/s).  The r1-r3
+        # sublane-wide experiment (8 tris on sublanes) measured strictly
+        # worse and was removed in r4 (docs/ROOFLINE.md history).
+        wide_mode = _os.environ.get("CRT_WIDE", "auto")
+        from cpu_ray_tracer_tpu.ops.pallas.packet_bvh import SMEM_BUDGET as _SMEM
+        binary_overflows = packed.num_nodes * 96 > _SMEM
+        if wide_mode == "1" or (wide_mode == "auto" and binary_overflows):
             from cpu_ray_tracer_tpu.accel import wide as wide_mod
 
             try:
