@@ -55,6 +55,20 @@ def _default_chunks() -> int:
     at the 921600-ray headline (12.4 -> 12.9 Mrays/s vs 32)."""
     return int(_os.environ.get("CRT_COMPACTION_CHUNKS", "48"))
 
+
+def _pick_chunks(r: int, c: int) -> int:
+    """Largest divisor of r that is <= the requested chunk count.
+
+    A non-dividing count must not silently fall to 1 (= compaction OFF):
+    at 1024x640 the r3 default (48) did exactly that — 655360 % 48 != 0
+    crippled every render at that resolution (the config-4 gap's silent
+    component)."""
+    if r < 4096 or c <= 1:
+        return 1
+    while c > 1 and r % c != 0:
+        c -= 1
+    return max(c, 1)
+
 # per-ray state keys permuted by the compaction sort.  No "radiance"
 # lane: a path emits at most ONCE (light hit XOR sky miss), dead lanes are
 # never mutated, so emission is reconstructed post-loop from the frozen
@@ -920,7 +934,7 @@ def sample_radiance(
             if differentiable
             else _default_chunks()
         )
-        compaction_chunks = c if r % c == 0 and r >= 4096 else 1
+        compaction_chunks = _pick_chunks(r, c)
 
     if _use_wavefront(scene, differentiable):
         return _sample_radiance_wavefront(
@@ -1117,7 +1131,7 @@ def render_pass(
     # configuration by scaling the chunk count with s
     c = _default_chunks() * s
     r = n * s
-    chunks = c if r % c == 0 and r >= 4096 else 1
+    chunks = _pick_chunks(r, c)
     radiance, stats = sample_radiance(
         scene,
         rays.o,
