@@ -221,16 +221,15 @@ def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=Non
     # flat-cotangent gathers: these sit inside differentiated chunk scans,
     # where a plain [T, 3] gather's transpose stacks 42.7x-padded cotangent
     # instances per scan iteration (vm.gather_rows3 docstring)
-    # bilinear (texture-learning) diff: flat-cotangent gathers, because the
-    # extra texel-atlas cotangents push the chunk scans' stacked [T, 3]
-    # vertex cotangents (42.7x padded) past HBM (vm.gather_rows3
-    # docstring).  Nearest (parity) diff keeps the plain gathers: the
-    # default multi-lane transpose is 22% faster end-to-end at chunk
-    # widths (fwd+bwd A/B: 4.53 vs 3.54 Mrays/s) and fits.
-    g3 = vm.gather_rows3 if scene.bilinear else (lambda a, i: a[i])
-    v0 = g3(scene.tris.v0, tid)
-    e1 = g3(scene.tris.e1, tid)
-    e2 = g3(scene.tris.e2, tid)
+    # plain row gathers: the default multi-lane scatter transpose is 12-22%
+    # faster end-to-end than the flat-cotangent variant (fwd+bwd A/B:
+    # nearest 4.53 vs 3.54, bilinear 1.94 vs 1.73 Mrays/s) and fits in HBM
+    # in both modes now that the bilinear tap records are deferred as 1-D
+    # arrays (render/pathtracer._TAP_KEYS; vm.gather_rows3 remains for
+    # gathers whose cotangents stack inside scans, e.g. the texel atlas).
+    v0 = scene.tris.v0[tid]
+    e1 = scene.tris.e1[tid]
+    e2 = scene.tris.e2[tid]
     h = jnp.cross(d_mt, e2)
     a = vm.dot(e1, h)
     f = 1.0 / jnp.where(jnp.abs(a) < np.float32(1e-20), np.float32(1e-20), a)
