@@ -350,25 +350,6 @@ def _bounce_step(
         # bilinear tap indices/weights only (sample_bilinear's address
         # math on the fused per-ray table fields); gather deferred
         textured = mf["tex_id"] >= 0
-        tw, th = mf["tex_w"], mf["tex_h"]
-        uu = jnp.clip(uv[..., 0], 0.0, 1.0)
-        vv = 1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)
-        fx = uu * tw.astype(jnp.float32) - 0.5
-        fy = vv * th.astype(jnp.float32) - 0.5
-        x0 = jnp.floor(fx)
-        y0 = jnp.floor(fy)
-        tap_tx, tap_ty = fx - x0, fy - y0
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, tw - 1)
-        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, tw - 1)
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, th - 1)
-        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, th - 1)
-        off = mf["tex_off"]
-        taps = (
-            off + x0i + y0i * tw,
-            off + x1i + y0i * tw,
-            off + x0i + y1i * tw,
-            off + x1i + y1i * tw,
-        )
         albedo = jnp.where(textured[..., None], 1.0, mf["albedo"])
     elif tap_chunks > 1 and w % tap_chunks == 0:
 
@@ -457,10 +438,12 @@ def _bounce_step(
         # estimator is unchanged.  Records are six 1-D arrays (_TAP_KEYS
         # note: trailing dims would pad 42-128x when stacked over scans).
         rec = surf & textured
-        for k, v in zip(_TAP_KEYS[:4], taps):
-            out[k] = jnp.where(rec, v, -1)
-        out["tap_tx"] = jnp.where(rec, tap_tx, 0.0)
-        out["tap_ty"] = jnp.where(rec, tap_ty, 0.0)
+        recs = _bilinear_records(
+            mf["tex_off"], mf["tex_w"], mf["tex_h"],
+            uv[..., 0], uv[..., 1], rec,
+        )
+        for k, v in zip(_TAP_KEYS, recs):
+            out[k] = v
     return out
 
 
@@ -717,6 +700,27 @@ def _tap_channels(texels_flat, i0, i1, i2, i3, tx, ty):
         acc = sum(t[c] * w for t, w in zip(taps, ws))
         out.append(jnp.where(valid, acc, 1.0))
     return out
+
+
+def _bilinear_records(off, w, h, u, v, rec):
+    """Clamp-to-edge bilinear tap records (sample_bilinear's address math):
+    (i0..i3, tx, ty), all 1-D, indices -1 where `rec` is False."""
+    uu = jnp.clip(u, 0.0, 1.0)
+    vv = 1.0 - jnp.clip(v, 0.0, 1.0)
+    fx = uu * w.astype(jnp.float32) - 0.5
+    fy = vv * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx, ty = fx - x0, fy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    taps = tuple(
+        jnp.where(rec, off + xi + yi * w, -1)
+        for xi, yi in ((x0i, y0i), (x1i, y0i), (x0i, y1i), (x1i, y1i))
+    )
+    return taps + (jnp.where(rec, tx, 0.0), jnp.where(rec, ty, 0.0))
 
 
 @jax.custom_vjp
@@ -994,6 +998,8 @@ def sample_radiance(
     rays_traced = jnp.int32(r)
     state = bounce(0, state, tap_chunks=1 if defer_tex else compaction_chunks)
     if defer_tex:
+        # depth 0 is pixel-ordered (spatially coherent), so untextured
+        # image regions skip their chunks here too
         state["throughput"] = _apply_tap_factor(
             state["throughput"], texels_flat,
             *(state.pop(k) for k in _TAP_KEYS),
@@ -1034,9 +1040,10 @@ def sample_radiance(
     radiance = jnp.where(
         state["lit"][..., None], state["throughput"] * scene.light_color, 0.0
     )
-    # defer_tex: the bilinear sky tap gathers the texel atlas, so it must
-    # stay OUTSIDE the chunk scan (one [K,3] cotangent instead of one per
-    # chunk iteration); the full-width gather runs once per trace
+    # defer_tex keeps the sky OUTSIDE the chunk scan at full width: three
+    # r4 alternatives measured worse (chunked+skipped custom-VJP taps 1.75,
+    # full-width custom-VJP taps 1.97 vs this config's 2.03 Mrays/s; the
+    # sky itself is ~16% of the bilinear fwd+bwd cost by a nearest-sky A/B)
     if compaction_chunks > 1 and r % compaction_chunks == 0 and not defer_tex:
         ck = lambda x: x.reshape(compaction_chunks, r // compaction_chunks, *x.shape[1:])
 
