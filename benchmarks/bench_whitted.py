@@ -27,7 +27,10 @@ W, H = 1024, 640
 
 
 def main():
-    tag = sys.argv[1] if len(sys.argv) > 1 else "r3"
+    # default tag "latest" so an untagged rerun can NEVER clobber a
+    # committed historical round artifact (an r4 run overwrote whitted_r3
+    # before this change; restored from git)
+    tag = sys.argv[1] if len(sys.argv) > 1 else "latest"
     import jax
     import jax.numpy as jnp
 
