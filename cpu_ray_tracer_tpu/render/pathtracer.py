@@ -972,11 +972,15 @@ def sample_radiance(
     # chunk scan (see _bounce_step defer_tex) — the flat [K*3] texel view is
     # reshaped ONCE here so scan transposes accumulate unpadded flat
     # cotangents (textures.gather_rgb_flat docstring has the 19.8 GB story)
+    # CRT_DEFER_TEX=0 forces the INLINE bilinear tap (sample_bilinear via
+    # autodiff) — the independent formulation the deferred path's
+    # hand-written VJP is tested against (tests/test_diff.py)
     defer_tex = (
         differentiable
         and getattr(scene, "bilinear", False)
         and not isinstance(scene, query.prim_scene.PrimScene)
         and int(scene.atlas.texels.shape[0]) < (1 << 24)
+        and _os.environ.get("CRT_DEFER_TEX", "1") != "0"
     )
     texels_flat = scene.atlas.texels.reshape(-1) if defer_tex else None
     bounce = functools.partial(

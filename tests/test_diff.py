@@ -257,3 +257,43 @@ class TestBilinearDiffCompaction:
         l_inline, _ = self._grads(scene, cam, 4, differentiable=False)
         l_defer, _ = self._grads(scene, cam, 4)
         np.testing.assert_allclose(float(l_inline), float(l_defer), rtol=2e-4)
+
+    def test_deferred_tap_grads_match_inline_autodiff(self, setup4k, monkeypatch):
+        # the deferred tap's HAND-WRITTEN VJP (_apply_tap_factor_bwd:
+        # texel scatter + tx/ty chain rule) against the independent
+        # formulation: plain autodiff through sample_bilinear
+        # (CRT_DEFER_TEX=0).  Covers the uv-side (vertex) gradients that
+        # the texel FD tests do not reach.
+        scene, cam = setup4k
+        params_keys = ("albedo", "texels", "light_color", "v0", "e1", "e2")
+        target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+        n = cam.width * cam.height
+        from cpu_ray_tracer_tpu.core import rng as rng_mod
+
+        seeds = rng_mod.pixel_seeds(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(5))
+
+        def grads(defer):
+            monkeypatch.setenv("CRT_DEFER_TEX", "1" if defer else "0")
+            params = grad_mod.extract_params(scene, keys=params_keys)
+
+            def loss_fn(p):
+                s = grad_mod.apply_params(scene, p)
+                rays = cam_mod.full_frame_rays(cam)
+                rad, _ = pathtracer.sample_radiance(
+                    s, rays.o, rays.d, seeds, depth_limit=2,
+                    differentiable=True, compaction_chunks=4,
+                )
+                return grad_mod.l2_image_loss(
+                    rad.reshape(cam.height, cam.width, 3), target
+                )
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        l_d, g_d = grads(True)
+        l_i, g_i = grads(False)
+        np.testing.assert_allclose(float(l_d), float(l_i), rtol=1e-5)
+        for k in g_d:
+            np.testing.assert_allclose(
+                np.asarray(g_d[k]), np.asarray(g_i[k]), rtol=2e-4, atol=1e-7,
+                err_msg=k,
+            )
