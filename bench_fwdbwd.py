@@ -57,7 +57,7 @@ def main():
     depth_limit = int(os.environ.get("BENCH_DEPTH", DEPTH_LIMIT))
     out_path = os.environ.get("BENCH_OUT", "")
     # BENCH_BILINEAR=1: texture-LEARNING mode — bilinear taps through the
-    # rank-1 custom-VJP texel gather (core/textures._gather_rgb), so the
+    # rank-1 custom-VJP texel gather (vecmath.gather_rows3), so the
     # `texels` leaf receives real gradients (VERDICT r3 ask #3); optionally
     # BENCH_FD=1 validates the largest texel gradient against a central
     # finite difference at full bench scale.

@@ -66,7 +66,9 @@ def wavefront_gate(scene):
     if int(scene.materials.albedo.shape[0]) > 16:
         return f"material table {int(scene.materials.albedo.shape[0])} > 16"
     atlas = scene.atlas
-    if atlas.packed is None or int(atlas.packed.shape[0]) >= (1 << 31):
+    if atlas.packed is None:
+        return "no packed atlas"
+    if int(atlas.packed.shape[0]) >= (1 << 31):
         return f"atlas {int(atlas.packed.shape[0])} texels >= 2^31"
     return "eligible"
 

@@ -24,12 +24,11 @@ from cpu_ray_tracer_tpu.core import vecmath as vm
 
 
 # Texel gathers in the differentiable pipeline go through
-# vecmath.gather_rows3 / vecmath._gather3_flat: a rank-1 backward (the
-# autodiff transpose of a row gather is a multi-lane scatter-add at random
-# indices — the measured 78 ms TPU scatter cliff), and a FLAT [K*3]
-# cotangent so differentiated scan bodies stack unpadded instances instead
-# of 42.7x-padded [K, 3] ones (the r3 19.8 GB bilinear-diff chunking OOM).
-gather_rgb_flat = vm._gather3_flat
+# vecmath.gather_rows3: a rank-1 flat backward (the autodiff transpose of
+# a row gather is a multi-lane scatter-add at random indices — the
+# measured 78 ms TPU scatter cliff), with a FLAT [K*3] cotangent so
+# differentiated scan bodies stack unpadded instances instead of
+# 42.7x-padded [K, 3] ones (the r3 19.8 GB bilinear-diff chunking OOM).
 
 
 @struct.dataclass

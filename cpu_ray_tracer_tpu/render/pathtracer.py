@@ -40,7 +40,6 @@ import jax.numpy as jnp
 from cpu_ray_tracer_tpu import constants
 from cpu_ray_tracer_tpu.core import camera as cam_mod
 from cpu_ray_tracer_tpu.core import rng as rng_mod
-from cpu_ray_tracer_tpu.core import textures as tex_mod
 from cpu_ray_tracer_tpu.ops.traverse_bvh import ray_octants
 from cpu_ray_tracer_tpu.render import common
 from cpu_ray_tracer_tpu.scene import query
@@ -927,7 +926,7 @@ def sample_radiance(
     deferred out of every chunk scan as (index, weight) records and
     applied at depth width (_bounce_step defer_tex / _tap_factor), with a
     flat [K*3] atlas view so scan transposes accumulate unpadded
-    cotangents (core/textures.gather_rgb_flat)."""
+    cotangents (core/vecmath.gather_rows3)."""
     r = o.shape[0]
     if compaction_chunks is None:
         # grad mode prefers coarser chunks: the backward replays every live
@@ -971,7 +970,7 @@ def sample_radiance(
     # bilinear diff (texture learning): defer the texel tap out of every
     # chunk scan (see _bounce_step defer_tex) — the flat [K*3] texel view is
     # reshaped ONCE here so scan transposes accumulate unpadded flat
-    # cotangents (textures.gather_rgb_flat docstring has the 19.8 GB story)
+    # cotangents (vecmath._gather3_flat docstring has the 19.8 GB story)
     # CRT_DEFER_TEX=0 forces the INLINE bilinear tap (sample_bilinear via
     # autodiff) — the independent formulation the deferred path's
     # hand-written VJP is tested against (tests/test_diff.py)
@@ -982,6 +981,12 @@ def sample_radiance(
         and int(scene.atlas.texels.shape[0]) < (1 << 24)
         and _os.environ.get("CRT_DEFER_TEX", "1") != "0"
     )
+    if differentiable and getattr(scene, "bilinear", False) and not defer_tex:
+        # bilinear diff WITHOUT deferral (giant atlas or CRT_DEFER_TEX=0):
+        # chunked inline taps stack one atlas cotangent per chunk iteration
+        # in the scan transpose (the measured multi-GB blowup) — force the
+        # safe unchunked configuration instead of OOMing
+        compaction_chunks = 1
     texels_flat = scene.atlas.texels.reshape(-1) if defer_tex else None
     bounce = functools.partial(
         _bounce_step, scene, nearest, depth_limit, use_tcap, t_cap,
@@ -1002,8 +1007,9 @@ def sample_radiance(
     rays_traced = jnp.int32(r)
     state = bounce(0, state, tap_chunks=1 if defer_tex else compaction_chunks)
     if defer_tex:
-        # depth 0 is pixel-ordered (spatially coherent), so untextured
-        # image regions skip their chunks here too
+        # full-width tap-factor application (a chunked lax.cond-skipping
+        # variant measured SLOWER under grad: 1.75 vs 2.03 Mrays/s — the
+        # backward replays every chunk, doubling per-chunk fixed costs)
         state["throughput"] = _apply_tap_factor(
             state["throughput"], texels_flat,
             *(state.pop(k) for k in _TAP_KEYS),

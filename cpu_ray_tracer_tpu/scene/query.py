@@ -218,9 +218,6 @@ def find_nearest_diff(scene: DeviceScene, o: jnp.ndarray, d: jnp.ndarray, t0=Non
         d_mt = jnp.einsum("rij,rj->ri", mi[:, :3, :3], d)
     else:
         o_mt, d_mt = o, d
-    # flat-cotangent gathers: these sit inside differentiated chunk scans,
-    # where a plain [T, 3] gather's transpose stacks 42.7x-padded cotangent
-    # instances per scan iteration (vm.gather_rows3 docstring)
     # plain row gathers: the default multi-lane scatter transpose is 12-22%
     # faster end-to-end than the flat-cotangent variant (fwd+bwd A/B:
     # nearest 4.53 vs 3.54, bilinear 1.94 vs 1.73 Mrays/s) and fits in HBM
