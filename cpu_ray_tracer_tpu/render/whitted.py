@@ -191,7 +191,7 @@ def render(
     scene: DeviceScene,
     camera: cam_mod.Camera,
     depth_limit: int = constants.DEPTH_LIMIT,
-    cap_factor: float = 1.0,
+    cap_factor: float = 0.25,
     differentiable: bool = False,
 ):
     """Render one Whitted frame.  Returns dict(image [H,W,3], traversed,
@@ -321,7 +321,7 @@ def render_adaptive(
     scene: DeviceScene,
     camera: cam_mod.Camera,
     depth_limit: int = constants.DEPTH_LIMIT,
-    cap_factor: float = 1.0,
+    cap_factor: float = 0.25,
     max_cap_factor: float = 8.0,
     differentiable: bool = False,
     on_grow=None,
