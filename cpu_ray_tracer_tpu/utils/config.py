@@ -41,7 +41,9 @@ class RenderConfig:
     depth_limit: int = constants.DEPTH_LIMIT
     spp: int = 16
     passes_per_step: int = 1  # spp per progressive step (ImGui slider 1..4)
-    whitted_cap_factor: float = 1.0
+    # 0.25 measured best first-try on the shipped reflective scenes (zero
+    # drops; grow-or-fail covers heavier trees) — see render/whitted.py
+    whitted_cap_factor: float = 0.25
     # grow-or-fail: re-render with doubled child capacity until nothing is
     # dropped (never silently biases); off = single render + loud WARNING
     whitted_grow_cap: bool = True
