@@ -466,8 +466,10 @@ def _use_wavefront(scene, differentiable: bool) -> bool:
         return False
     if getattr(scene, "shared", None) is not None:
         return False
-    # an explicit wide-kernel experiment takes precedence
-    if scene.packed_wide is not None:
+    # an explicit wide-kernel experiment takes precedence — except the
+    # "bounce" split, where the primary kernel keeps the binary tables and
+    # only host (bounce) traversals go wide
+    if scene.packed_wide is not None and _os.environ.get("CRT_WIDE") != "bounce":
         return False
     if scene.bilinear or not (scene.has_light and scene.has_floor):
         return False
@@ -509,6 +511,71 @@ def _tcap_setup(scene, differentiable: bool):
         )
         t_cap = jnp.float32(diag * tcap_frac)
     return use_tcap, t_cap
+
+
+def _tex_rgb(scene, idx):
+    """Packed-u32 texel rows -> [W, 3] f32 (1.0 where idx < 0): the deferred
+    nearest-texel factor gather shared by the depth-0 epilogue and the fused
+    deep tail."""
+    p = scene.atlas.packed[jnp.maximum(idx, 0)]
+    rgb = jnp.stack(
+        [
+            ((p >> 16) & 0xFF).astype(jnp.float32),
+            ((p >> 8) & 0xFF).astype(jnp.float32),
+            (p & 0xFF).astype(jnp.float32),
+        ],
+        axis=-1,
+    ) * jnp.float32(1.0 / 255.0)
+    return jnp.where((idx >= 0)[..., None], rgb, 1.0)
+
+
+def _fused_deep(scene, head, rays_traced, deep0: int, n_deep: int,
+                depth_limit: int, chunks: int):
+    """Run bounce depths [deep0, deep0 + n_deep) fully in-kernel on the
+    (sorted, tier-width) `head` state — ONE Pallas launch instead of
+    n_deep host bounces, each of which pays a narrow re-sort, a kernel
+    launch, the [W,16] shade-record gather and the chunk-scan glue
+    (measured r5: ~4.6 ms per deep depth at tier width 19200 for <2% live
+    rays — pure fixed cost).  The kernel keeps ray state in VMEM across the
+    depths; texel taps come back as per-depth index records and multiply
+    into the carried throughput here (exact — albedo only ever scales
+    throughput, see ops/pallas/wavefront_pt.py module docstring).
+
+    r3 measured in-kernel bounces a LOSS at full width (11.58 vs 12.73
+    Mrays/s): unsorted full-width tiles walk 3x unions and in-kernel shade
+    carries cost what the host's fused gathers cost.  At tier width the
+    trade inverts — per-launch fixed costs dominate the tail, and the head
+    was locus-sorted by the cascade entry sort, so tile unions stay tight."""
+    from cpu_ray_tracer_tpu.ops.pallas import wavefront_pt
+
+    wf = wavefront_pt.trace(
+        scene, head["o"], head["d"], head["seed"],
+        k_depths=n_deep, depth_limit=depth_limit,
+        interpret=jax.default_backend() != "tpu",
+        alive=head["alive"], inside=head["inside"], depth_base=deep0,
+    )
+    tp = head["throughput"] * wf["tp"]
+    for k in range(n_deep):
+        idx = wf["tex_idx"][:, k]
+        f_k = _chunked_contrib(
+            lambda i: _tex_rgb(scene, i) - 1.0, idx >= 0, (idx,), chunks
+        )
+        tp = tp * (f_k + 1.0)
+    out = dict(
+        o=wf["o"],
+        d=wf["d"],
+        seed=wf["seed"],
+        throughput=tp,
+        inside=wf["inside"],
+        alive=wf["alive"],
+        missed=head["missed"] | wf["missed"],
+        lit=head["lit"] | wf["lit"],
+        traversed=head["traversed"] + wf["traversed"],
+        tested=head["tested"] + wf["tested"],
+        pixel=head["pixel"],
+        locus=jnp.where(wf["locus"] >= 0, wf["locus"], head["locus"]),
+    )
+    return out, rays_traced + jnp.sum(wf["live_counts"]).astype(jnp.int32)
 
 
 def _chunked_contrib(fn, any_mask, args, chunks: int):
@@ -564,107 +631,118 @@ def _sample_radiance_wavefront(
     )
     chunks = compaction_chunks if r % max(compaction_chunks, 1) == 0 else 1
 
-    # deferred texel factors: one chunked gather per kernel depth (chunks
-    # with no textured hit skip the HBM gather entirely; bounce depths >= 1
-    # rarely record any)
-    packed = scene.atlas.packed
-    scale = jnp.float32(1.0 / 255.0)
-
-    def tex_rgb(idx):
-        p = packed[jnp.maximum(idx, 0)]
-        rgb = jnp.stack(
-            [
-                ((p >> 16) & 0xFF).astype(jnp.float32),
-                ((p >> 8) & 0xFF).astype(jnp.float32),
-                (p & 0xFF).astype(jnp.float32),
-            ],
-            axis=-1,
-        ) * scale
-        return jnp.where((idx >= 0)[..., None], rgb, 1.0)
-
+    # deferred texel factors of the kernel depths: one chunked gather per
+    # kernel depth (chunks with no textured hit skip the HBM gather
+    # entirely).  Stays in PIXEL order and multiplies at the very end.
     factor = jnp.ones((r, 3), jnp.float32)
     for k in range(k_depths):
         idx = wf["tex_idx"][:, k]
         f_k = _chunked_contrib(
-            lambda i: tex_rgb(i) - 1.0, idx >= 0, (idx,), chunks
+            lambda i: _tex_rgb(scene, i) - 1.0, idx >= 0, (idx,), chunks
         )
         factor = factor * (f_k + 1.0)
 
-    # terminal emissions (mutually exclusive per ray)
-    emit = jnp.where(wf["lit"][..., None], wf["tp"] * scene.light_color, 0.0)
+    rays_traced = jnp.sum(wf["live_counts"]).astype(jnp.int32)
 
     def sky_fn(m, tp, dd):
         return jnp.where(m[..., None], tp, 0.0) * query.sky_color(scene, dd)
 
-    emit = emit + _chunked_contrib(
-        sky_fn, wf["missed"], (wf["missed"], wf["tp"], wf["d"]), chunks
+    if k_depths > depth_limit:
+        # no tail: terminal emissions in pixel order
+        emit = jnp.where(wf["lit"][..., None], wf["tp"] * scene.light_color, 0.0)
+        emit = emit + _chunked_contrib(
+            sky_fn, wf["missed"], (wf["missed"], wf["tp"], wf["d"]), chunks
+        )
+        return emit * factor, dict(
+            rays_traced=rays_traced,
+            traversed=wf["traversed"],
+            tested=wf["tested"],
+        )
+
+    # spill the survivors into the sorted liveness-cascade tail.  The
+    # kernel depths' missed/lit bits ride the tail state (dead lanes are
+    # never mutated — _RAY_KEYS note), so ALL terminal emissions are
+    # computed in ONE pass over the FINAL sorted order below: the depth-0
+    # sky misses end up compacted into the dead suffix there, where the
+    # chunked equirect gather actually skips, instead of paying a separate
+    # pixel-order epilogue at ~70% occupancy (r5: the separate d0 sky pass
+    # measured 7.2 ms/pass — as much as the primary traversal itself).
+    state = dict(
+        o=wf["o"],
+        d=wf["d"],
+        seed=wf["seed"],
+        throughput=wf["tp"],
+        inside=wf["inside"],
+        alive=wf["alive"],
+        missed=wf["missed"],
+        lit=wf["lit"],
+        traversed=wf["traversed"],
+        tested=wf["tested"],
+        pixel=jnp.arange(r, dtype=jnp.int32),
+        locus=wf["locus"],
     )
-
-    rays_traced = jnp.sum(wf["live_counts"]).astype(jnp.int32)
-    traversed = wf["traversed"]
-    tested = wf["tested"]
-
-    if k_depths <= depth_limit:
-        # spill the survivors into the sorted liveness-cascade tail
-        state = dict(
-            o=wf["o"],
-            d=wf["d"],
-            seed=wf["seed"],
-            throughput=wf["tp"],
-            inside=wf["inside"],
-            alive=wf["alive"],
-            missed=jnp.zeros((r,), jnp.bool_),
-            lit=jnp.zeros((r,), jnp.bool_),
-            traversed=traversed,
-            tested=tested,
-            pixel=jnp.arange(r, dtype=jnp.int32),
-            locus=wf["locus"],
+    use_tcap, t_cap = _tcap_setup(scene, False)
+    bounce = functools.partial(
+        _bounce_step, scene, query.find_nearest, depth_limit,
+        use_tcap, t_cap,
+    )
+    chunk = r // max(chunks, 1)
+    depth_body = _make_depth_body(scene, bounce, chunk)
+    depth_body_ns = _make_depth_body(scene, bounce, chunk, sort=False)
+    next_d = k_depths
+    if (
+        next_d == 1 and depth_limit >= 1 and chunks > 1
+        and _os.environ.get("CRT_D1_TIER", "0") == "1"
+    ):
+        # depth 1 through its own one-depth cascade with a WIDE tier
+        # ladder.  OFF by default: measured NEUTRAL (+0.8 ms) on the
+        # headline — the chunk scan's dead-chunk lax.cond already skips
+        # the sorted dead suffix, so the tier's narrower static width buys
+        # nothing the conds hadn't (r5 A/B, ab_tail.py; kept as a measured
+        # experiment for the ROOFLINE re-audit).
+        state, rays_traced = _cascade(
+            scene, state, rays_traced, [1], chunk, depth_body, r,
+            tiers=(4, 16, 36, 44), depth_body_first=depth_body_ns,
         )
-        # (r3's CRT_WF_BOUNCE per-depth kernel bounce measured NET-NEGATIVE
-        # — 11.58 vs 12.73 Mrays/s — and was removed in r4; the six shading
-        # attributes riding the while carry cost about what the fused
-        # hit-record gather + material matmul they replaced cost.)
-        use_tcap, t_cap = _tcap_setup(scene, False)
-        bounce = functools.partial(
-            _bounce_step, scene, query.find_nearest, depth_limit,
-            use_tcap, t_cap,
+        next_d = 2
+    elif next_d == 1 and depth_limit >= 1:
+        (state, rays_traced), _ = jax.lax.scan(
+            depth_body, (state, rays_traced), jnp.arange(1, 2)
         )
-        chunk = r // max(chunks, 1)
-        depth_body = _make_depth_body(scene, bounce, chunk)
-        next_d = k_depths
-        if next_d == 1 and depth_limit >= 1:
-            # depth 1 at full width like the host path (>50% of paths
-            # usually survive the primary hit — the cascade would pick its
-            # full-width fallback anyway, but a straight scan step avoids an
-            # extra full-width compaction sort)
-            (state, rays_traced), _ = jax.lax.scan(
-                depth_body, (state, rays_traced), jnp.arange(1, 2)
-            )
-            next_d = 2
-        if next_d <= depth_limit:
-            state, rays_traced = _cascade(
-                scene, state, rays_traced,
-                jnp.arange(next_d, depth_limit + 1), chunk, depth_body, r,
-            )
-        tail_rad = jnp.where(
-            state["lit"][..., None], state["throughput"] * scene.light_color, 0.0
-        ) + _chunked_contrib(
-            sky_fn, state["missed"],
-            (state["missed"], state["throughput"], state["d"]), chunks,
+        next_d = 2
+    if next_d <= depth_limit:
+        # depths >= 2: the in-kernel fused tail is OFF by default — both
+        # variants measured NET LOSSES at depth 5 (r5 A/B, ab_tail.py:
+        # single k=4 launch +14 ms from union blowup without resorts;
+        # per-depth k=1 launches +5 ms despite winning -0.9 ms at depth 2
+        # alone).  CRT_FUSED_TAIL=auto|1 keeps them runnable as the
+        # measured experiments behind the docs/ROOFLINE.md re-audit table.
+        fused = (
+            _os.environ.get("CRT_FUSED_TAIL", "0") != "0"
+            and chunks > 1
         )
-        if chunks > 1:
-            inv = (
-                jnp.zeros((r,), jnp.int32)
-                .at[state["pixel"]]
-                .set(jnp.arange(r, dtype=jnp.int32), unique_indices=True)
-            )
-            tail_rad = tail_rad[inv]
-        emit = emit + tail_rad
-        traversed = state["traversed"]
-        tested = state["tested"]
+        state, rays_traced = _cascade(
+            scene, state, rays_traced,
+            list(range(next_d, depth_limit + 1)), chunk, depth_body, r,
+            fused_depth_limit=depth_limit if fused else None,
+            depth_body_first=depth_body_ns,
+        )
 
-    return emit * factor, dict(
-        rays_traced=rays_traced, traversed=traversed, tested=tested
+    # ONE terminal-emission pass over the final sorted order (a path
+    # terminates exactly once; dead lanes' d/throughput are frozen at
+    # termination, so lit/missed emissions reconstruct exactly here)
+    rad = jnp.where(
+        state["lit"][..., None], state["throughput"] * scene.light_color, 0.0
+    ) + _chunked_contrib(
+        sky_fn, state["missed"],
+        (state["missed"], state["throughput"], state["d"]), chunks,
+    )
+    if chunks > 1:
+        rad = _apply_perm(rad, _inverse_perm(state["pixel"]), state["pixel"])
+    return rad * factor, dict(
+        rays_traced=rays_traced,
+        traversed=state["traversed"],
+        tested=state["tested"],
     )
 
 
@@ -788,11 +866,17 @@ def _sort_state(scene, st, diff=False):
     return _permute_state(st, perm)
 
 
-def _make_depth_body(scene, bounce, chunk, diff=False, texels_flat=None):
+def _make_depth_body(scene, bounce, chunk, diff=False, texels_flat=None,
+                     sort=True):
     """`texels_flat` non-None = deferred-tap bilinear diff mode: the bounce
     emits tap records through the chunk scan (stacked outputs — small), and
     the texture factor multiplies throughput here at depth width, outside
-    the scan, so the scan transpose never accumulates atlas cotangents."""
+    the scan, so the scan transpose never accumulates atlas cotangents.
+
+    `sort=False` skips the per-depth compaction resort: a cascade tier's
+    entry sort already compacted+ordered the state, so the FIRST depth
+    inside a tier re-sorting it is a pure no-op permutation — measured
+    ~7 ms of wasted argsort+[R,15] gather at the r5 depth-1 tier width."""
     defer_tex = texels_flat is not None
 
     def depth_body(carry, depth):
@@ -804,7 +888,7 @@ def _make_depth_body(scene, bounce, chunk, diff=False, texels_flat=None):
         cw = w // n_chunks
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))
         rays_traced = rays_traced + n_alive
-        if n_chunks > 1:
+        if n_chunks > 1 and sort:
             state = _sort_state(scene, state, diff)
         chunked = {
             k: state[k].reshape(n_chunks, cw, *state[k].shape[1:])
@@ -849,30 +933,78 @@ def _make_depth_body(scene, bounce, chunk, diff=False, texels_flat=None):
     return depth_body
 
 
-def _cascade(scene, state, rays_traced, deep, chunk, depth_body, r, diff=False):
+def _cascade(scene, state, rays_traced, deep, chunk, depth_body, r,
+             diff=False, tiers=None, fused_depth_limit=None,
+             depth_body_first=None):
     """Liveness cascade over the `deep` depth indices.
 
     Deeper bounces usually have FEW survivors — measured on the bench
     scene: 60.8% live at depth 1, 4.5% at depth 2, <=2.2% past that — yet
     a full-width depth iteration costs ~90ms at 1M rays (resort ~22ms +
     per-chunk fixed costs) regardless of liveness.  So a cascade picks the
-    narrowest static buffer from {1, 4} chunks (lax.cond nest) that holds
-    every live ray, and all remaining depths run inside it; the full-width
-    scan stays as the fallback for mirror-box-style scenes where most
-    paths survive.  The chunk width is identical in every tier, so the
-    Pallas kernels and the traced bounce body are shared across tiers."""
+    narrowest static buffer (lax.cond nest) that holds every live ray, and
+    all remaining depths run inside it; the full-width scan stays as the
+    fallback for mirror-box-style scenes where most paths survive.  The
+    chunk width is identical in every tier, so the Pallas kernels and the
+    traced bounce body are shared across tiers.
+
+    `tiers`: ladder of tier widths in chunks (default (1, 4, 16, 64)).
+    Depth 1 goes through the cascade too since r5, with a wide ladder
+    (16/36/44 chunks): ~60% of paths survive the primary hit on open
+    scenes, so its tier shaves the dead ~40% off every per-chunk cost
+    without an extra sort (the tier's entry sort IS depth-1's compaction
+    sort).
+
+    `fused_depth_limit` non-None switches the tier body from the per-depth
+    host scan to ONE in-kernel multi-bounce launch (_fused_deep); `deep`
+    must then be a static python range.
+
+    `depth_body_first`: nosort variant of depth_body for the FIRST depth
+    inside a tier (the tier's entry sort already ordered the head — see
+    _make_depth_body sort=False)."""
 
     def deep_full(carry):
-        (st, rt), _ = jax.lax.scan(depth_body, carry, deep)
+        (st, rt), _ = jax.lax.scan(depth_body, carry, jnp.asarray(deep))
         return st, rt
 
+    first_body = depth_body_first if depth_body_first is not None else depth_body
+
     def make_tier(width):
+        n_chunks = max(width // chunk, 1)
+
         def tier(carry):
             st, rt = carry
             st = _sort_state(scene, st, diff)  # compact live rays into the prefix
             head = {k: st[k][:width] for k in _RAY_KEYS}
             tail = {k: st[k][width:] for k in _RAY_KEYS}
-            (head, rt), _ = jax.lax.scan(depth_body, (head, rt), deep)
+            if fused_depth_limit is not None:
+                if _os.environ.get("CRT_FUSED_TAIL", "auto") == "1":
+                    # single launch for ALL deep depths: measured +14 ms at
+                    # depth 5 — without resorts between depths the tile
+                    # unions blow up (the r3 K>=2 failure at tier width).
+                    # Kept only as the A/B reference config.
+                    head, rt = _fused_deep(
+                        scene, head, rt, int(deep[0]), len(deep),
+                        fused_depth_limit, n_chunks,
+                    )
+                else:
+                    # per-depth launches with narrow re-sorts between: the
+                    # kernel replaces the host bounce's 4-chunk launch
+                    # train + shade glue (measured -0.9 ms per deep depth),
+                    # the sort keeps unions tight
+                    for i, dd in enumerate(deep):
+                        if i > 0:
+                            head = _sort_state(scene, head, diff)
+                        head, rt = _fused_deep(
+                            scene, head, rt, int(dd), 1,
+                            fused_depth_limit, n_chunks,
+                        )
+            else:
+                (head, rt), _ = first_body((head, rt), jnp.asarray(deep[0]))
+                if len(deep) > 1:
+                    (head, rt), _ = jax.lax.scan(
+                        depth_body, (head, rt), jnp.asarray(deep[1:])
+                    )
             st = {
                 k: jnp.concatenate([head[k], tail[k]], axis=0)
                 for k in _RAY_KEYS
@@ -888,9 +1020,11 @@ def _cascade(scene, state, rays_traced, deep, chunk, depth_body, r, diff=False):
     # full-width fallback — the measured reason BENCH_SPB lost (4.5 vs 12.9
     # Mrays/s).  Extra tiers are free at 1 spp (the cond nest just never
     # takes them).
-    tiers = [w for w in (chunk, 4 * chunk, 16 * chunk, 64 * chunk) if w < r]
+    if tiers is None:
+        tiers = (1, 4, 16, 64)
+    tier_ws = [w * chunk for w in tiers if w * chunk < r]
     run = deep_full
-    for w in reversed(tiers):  # build the cond nest widest-first
+    for w in reversed(tier_ws):  # build the cond nest widest-first
         run = (
             lambda carry, w=w, fallback=run: jax.lax.cond(
                 n_live <= w, make_tier(w), fallback, carry
@@ -1035,6 +1169,10 @@ def sample_radiance(
         state, rays_traced = _cascade(
             scene, state, rays_traced, jnp.arange(2, depth_limit + 1),
             chunk, depth_body, r, diff=differentiable,
+            depth_body_first=_make_depth_body(
+                scene, bounce, chunk, diff=differentiable,
+                texels_flat=texels_flat, sort=False,
+            ),
         )
 
     # terminated rays' d and throughput are frozen at termination time (dead

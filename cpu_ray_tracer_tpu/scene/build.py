@@ -388,10 +388,16 @@ def compile_scene(
         # full pass 467 -> 341 ms (1.97 -> 2.70 Mrays/s).  The r1-r3
         # sublane-wide experiment (8 tris on sublanes) measured strictly
         # worse and was removed in r4 (docs/ROOFLINE.md history).
+        # "bounce" builds the wide tables ALONGSIDE the binary ones: the
+        # wavefront primary kernel keeps the binary walk (it measured
+        # within 3% and its shade interpolation is binary-table code),
+        # while host traversals — the locus-sorted BOUNCE depths, where
+        # unions are 10x primary (r5: d1 traverse = 30 of the 33 ms scan)
+        # — take the wide walk's 3.4x-fewer-steps descent.
         wide_mode = _os.environ.get("CRT_WIDE", "auto")
         from cpu_ray_tracer_tpu.ops.pallas.packet_bvh import SMEM_BUDGET as _SMEM
         binary_overflows = packed.num_nodes * 96 > _SMEM
-        if wide_mode == "1" or (wide_mode == "auto" and binary_overflows):
+        if wide_mode in ("1", "bounce") or (wide_mode == "auto" and binary_overflows):
             from cpu_ray_tracer_tpu.accel import wide as wide_mod
 
             try:
