@@ -767,12 +767,58 @@ def _tap_rows(texels_flat, idx):
     return t[:, 0], t[:, 1], t[:, 2]
 
 
+def _tap_pairs(texels_flat, ileft, iright):
+    """Fetch the horizontally-ADJACENT tap pair with ONE 6-wide slice
+    gather: bilinear taps within a texture row satisfy
+    iright in {ileft, ileft + 1} (clamp-to-edge), and TPU gathers cost
+    ~per-index regardless of slice width, so one [W, 6] fetch replaces two
+    [W, 3] row gathers.  The boundary duplicate (iright == ileft at the
+    texture's right edge) selects the left slice; the 6-wide fetch may then
+    read 3 floats past the row (or the atlas — CLIP mode clamps), whose
+    values are discarded by the same select.
+
+    Returns ([W] x3 left-channel, [W] x3 right-channel)."""
+    # the very last atlas texel as a left tap would need a slice past the
+    # array end; CLIP would silently SHIFT the slice (corrupting the left
+    # values), so gather from a safe base and re-select.  ileft == K-1 is
+    # always a clamp-duplicate (the last texel has no right neighbor), so
+    # right == left there by construction.
+    kmax = texels_flat.shape[0] // 3 - 2
+    il = jnp.maximum(ileft, 0)
+    shifted = il > kmax
+    base = jnp.minimum(il, kmax)
+    out = jax.lax.gather(
+        texels_flat,
+        (base * 3)[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        ),
+        slice_sizes=(6,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    dup = iright == ileft
+    left = tuple(
+        jnp.where(shifted, out[:, 3 + c], out[:, c]) for c in range(3)
+    )
+    right = tuple(
+        jnp.where(dup, left[c], out[:, 3 + c]) for c in range(3)
+    )
+    return left, right
+
+
+def _tap_quad(texels_flat, i0, i1, i2, i3):
+    """All four bilinear taps via two pair fetches: [4][3] of [W]."""
+    t0, t1 = _tap_pairs(texels_flat, i0, i1)
+    t2, t3 = _tap_pairs(texels_flat, i2, i3)
+    return [t0, t1, t2, t3]
+
+
 def _tap_channels(texels_flat, i0, i1, i2, i3, tx, ty):
     """Per-channel bilinear texture factor from flat tap records."""
     valid = i0 >= 0
     ws = _bilerp_weights(tx, ty)
     out = []
-    taps = [_tap_rows(texels_flat, jnp.maximum(i, 0)) for i in (i0, i1, i2, i3)]
+    taps = _tap_quad(texels_flat, i0, i1, i2, i3)
     for c in range(3):
         acc = sum(t[c] * w for t, w in zip(taps, ws))
         out.append(jnp.where(valid, acc, 1.0))
@@ -823,7 +869,7 @@ def _apply_tap_factor_bwd(res, g):
     valid = i0 >= 0
     ws = _bilerp_weights(tx, ty)
     idx = tuple(jnp.maximum(i, 0) for i in (i0, i1, i2, i3))
-    taps = [_tap_rows(texels_flat, i) for i in idx]  # [4][3] of [W]
+    taps = _tap_quad(texels_flat, i0, i1, i2, i3)  # [4][3] of [W]
     fs = [
         jnp.where(valid, sum(t[c] * w for t, w in zip(taps, ws)), 1.0)
         for c in range(3)
@@ -833,14 +879,44 @@ def _apply_tap_factor_bwd(res, g):
     d_tp = jnp.stack([gs[c] * fs[c] for c in range(3)], axis=1)
     # gtp_c = dL/d(factor_c); zero where no tap (factor pinned to 1)
     gtp = [jnp.where(valid, gs[c] * tps[c], 0.0) for c in range(3)]
-    # texel cotangents: 12 rank-1 contributions through ONE flat scatter-add
-    flat_ids = jnp.concatenate(
-        [idx[j] * 3 + c for j in range(4) for c in range(3)]
-    )
-    flat_cts = jnp.concatenate([gtp[c] * ws[j] for j in range(4) for c in range(3)])
-    d_tex = (
-        jnp.zeros_like(texels_flat).at[flat_ids].add(flat_cts)
-    )
+    # texel cotangents: 12 rank-1 contributions per lane (4 taps x 3
+    # channels), scatter-added into the flat atlas CHUNKED with dead-chunk
+    # skipping: taps exist only on textured-bounce lanes (~15-25% at depth
+    # 0, less deeper), and the full-width 11M-id scatter alone measured
+    # 125 ms/step at the r5 bench shape — 47% of the whole bilinear
+    # fwd+bwd step was this one op at mostly-zero occupancy.  A lax.cond
+    # per chunk skips the scatter where no lane is valid (the zero
+    # contributions are exact either way).
+    w = valid.shape[0]
+    ids2 = jnp.stack([idx[j] * 3 + c for j in range(4) for c in range(3)])
+    cts2 = jnp.stack([gtp[c] * ws[j] for j in range(4) for c in range(3)])
+    n_ck = _pick_chunks(w, int(_os.environ.get("CRT_TAP_SCATTER_CHUNKS", "48")))
+    if n_ck > 1:
+        idc = ids2.reshape(12, n_ck, -1).transpose(1, 0, 2)
+        ctc = cts2.reshape(12, n_ck, -1).transpose(1, 0, 2)
+        anyc = jnp.any(valid.reshape(n_ck, -1), axis=1)
+
+        def body(acc, z):
+            i, c, a = z
+            return (
+                jax.lax.cond(
+                    a,
+                    lambda acc_: acc_.at[i.reshape(-1)].add(c.reshape(-1)),
+                    lambda acc_: acc_,
+                    acc,
+                ),
+                None,
+            )
+
+        d_tex, _ = jax.lax.scan(
+            body, jnp.zeros_like(texels_flat), (idc, ctc, anyc)
+        )
+    else:
+        d_tex = (
+            jnp.zeros_like(texels_flat)
+            .at[ids2.reshape(-1)]
+            .add(cts2.reshape(-1))
+        )
     # weight cotangents d_wj = sum_c gtp_c * tap_jc, then chain to (tx, ty)
     dw = [sum(gtp[c] * taps[j][c] for c in range(3)) for j in range(4)]
     d_tx = dw[0] * -(1 - ty) + dw[1] * (1 - ty) + dw[2] * -ty + dw[3] * ty
@@ -1021,7 +1097,13 @@ def _cascade(scene, state, rays_traced, deep, chunk, depth_body, r,
     # Mrays/s).  Extra tiers are free at 1 spp (the cond nest just never
     # takes them).
     if tiers is None:
-        tiers = (1, 4, 16, 64)
+        # wide rungs (36/44 chunks) added in r5 for closed-interior scenes:
+        # inside_scene keeps 52%/35%/25% of paths alive through depths 2-4,
+        # which used to fall through to the FULL-width fallback — every
+        # deep depth then paid a full-width sort+permute (~10 ms each at
+        # 1280x720).  A 0.75R tier caps that at no cost to open scenes
+        # (their 4.5% deep liveness still lands on the narrow rungs).
+        tiers = (1, 4, 16, 36, 44)
     tier_ws = [w * chunk for w in tiers if w * chunk < r]
     run = deep_full
     for w in reversed(tier_ws):  # build the cond nest widest-first

@@ -66,8 +66,20 @@ def _shade_level(
     )
 
     # --- local radiance ---------------------------------------------------
-    contrib = jnp.zeros(weight.shape, jnp.float32)
-    contrib = jnp.where(miss_mask[..., None], weight * query.sky_color(scene, d), contrib)
+    # sky: chunked with dead-chunk skipping (pathtracer._chunked_contrib) —
+    # the equirect gather is the single largest piece of a small-scene
+    # Whitted frame (r5 probe: 6.4 of ~12 ms on config-1), and primary
+    # misses are contiguous in pixel order, so chunks without a miss skip
+    # the 2M-texel gather entirely
+    from cpu_ray_tracer_tpu.render.pathtracer import _chunked_contrib, _pick_chunks
+
+    def sky_fn(m, w_, dd):
+        return jnp.where(m[..., None], w_, 0.0) * query.sky_color(scene, dd)
+
+    contrib = _chunked_contrib(
+        sky_fn, miss_mask, (miss_mask, weight, d),
+        _pick_chunks(miss_mask.shape[0], 48),
+    )
     contrib = jnp.where(is_light[..., None], weight * scene.light_color, contrib)
 
     do_diffuse = surf & (diff > 0.0)
