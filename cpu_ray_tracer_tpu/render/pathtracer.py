@@ -446,17 +446,11 @@ def _bounce_step(
     return out
 
 
-def _use_wavefront(scene, differentiable: bool) -> bool:
-    """Eligibility of the in-kernel bounce wavefront
-    (ops/pallas/wavefront_pt.py).  CRT_WAVEFRONT: "auto" (default — on for
-    the real TPU backend), "1" (force on, e.g. interpret-mode tests),
-    "0" (off).  Requirements beyond the packet kernel's: SMEM node tables,
-    fused shade rows, quad light + floor plane present, a small material
-    table, and a packed texel atlas (the deferred-albedo epilogue gathers
-    it)."""
-    mode = _os.environ.get("CRT_WAVEFRONT", "auto")
-    if mode == "0" or differentiable:
-        return False
+def _kernel_scene_eligible(scene) -> bool:
+    """Scene-side eligibility shared by the PT wavefront kernel and the
+    fused Whitted level-0 kernel: SMEM node tables, fused shade rows, quad
+    light + floor plane present, a small material table, and a packed
+    texel atlas (the deferred-albedo epilogues gather it)."""
     if not getattr(scene, "use_pallas", False):
         return False
     pk = getattr(scene, "packed", None)
@@ -479,6 +473,19 @@ def _use_wavefront(scene, differentiable: bool) -> bool:
     # (wavefront_pt._MAT_F note), so the atlas bound is the i32 range
     atlas = scene.atlas
     if atlas.packed is None or int(atlas.packed.shape[0]) >= (1 << 31):
+        return False
+    return True
+
+
+def _use_wavefront(scene, differentiable: bool) -> bool:
+    """Eligibility of the in-kernel bounce wavefront
+    (ops/pallas/wavefront_pt.py).  CRT_WAVEFRONT: "auto" (default — on for
+    the real TPU backend), "1" (force on, e.g. interpret-mode tests),
+    "0" (off)."""
+    mode = _os.environ.get("CRT_WAVEFRONT", "auto")
+    if mode == "0" or differentiable:
+        return False
+    if not _kernel_scene_eligible(scene):
         return False
     if mode == "1":
         return True

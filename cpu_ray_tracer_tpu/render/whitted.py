@@ -122,6 +122,88 @@ def _shade_level(
     return pixel, contrib, children, stats
 
 
+def _use_kernel_level0(scene, differentiable: bool) -> bool:
+    """Fused Whitted level-0 kernel eligibility (ops/pallas/whitted_wf.py).
+    CRT_WHITTED_WF: "auto" (default — on for the real TPU backend), "1"
+    (force, e.g. interpret-mode tests), "0" (off)."""
+    from cpu_ray_tracer_tpu.render import pathtracer as _pt
+
+    mode = _os.environ.get("CRT_WHITTED_WF", "auto")
+    if mode == "0" or differentiable:
+        return False
+    if not _pt._kernel_scene_eligible(scene):
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _shade_level0_kernel(scene: DeviceScene, o, d, inside, weight, pixel,
+                         emit_children: bool):
+    """Level 0 through the fused kernel: ONE Pallas launch runs the primary
+    traverse, hit-info interpolation and the point-light SHADOW walk; this
+    epilogue is pure vector math plus two chunk-skipped gathers (texel
+    factor, sky).  Same contract as _shade_level."""
+    from cpu_ray_tracer_tpu.ops.pallas import whitted_wf
+    from cpu_ray_tracer_tpu.render.pathtracer import (
+        _chunked_contrib, _pick_chunks, _tex_rgb,
+    )
+
+    n = o.shape[0]
+    interpret = jax.default_backend() != "tpu"
+    wf = whitted_wf.trace_level0(scene, o, d, inside, interpret=interpret)
+    t = wf["t"]
+    point = o + t[..., None] * d
+    mf = query.material_fields(scene, wf["mat"])
+    chunks = _pick_chunks(n, 48)
+    texed = wf["tex_idx"] >= 0
+    tex_fac = _chunked_contrib(
+        lambda i: _tex_rgb(scene, i) - 1.0, texed, (wf["tex_idx"],), chunks
+    ) + 1.0
+    albedo = jnp.where(texed[..., None], tex_fac, mf["albedo"])
+    medium = jnp.where(
+        inside[..., None], jnp.exp(mf["absorption"] * (-t)[..., None]), 1.0
+    )
+    refl = mf["reflectivity"]
+    refr = mf["refractivity"]
+    diff = 1.0 - (refl + refr)
+
+    def sky_fn(m, w_, dd):
+        return jnp.where(m[..., None], w_, 0.0) * query.sky_color(scene, dd)
+
+    contrib = _chunked_contrib(sky_fn, wf["miss"], (wf["miss"], weight, d), chunks)
+    contrib = jnp.where(wf["lit"][..., None], weight * scene.light_color, contrib)
+    irradiance = scene.light_color * wf["irr_scale"][..., None]
+    local = diff[..., None] * (albedo * constants.INVPI) * (irradiance + AMBIENT)
+    do_diffuse = wf["surf"] & (diff > 0.0)
+    contrib = jnp.where(
+        do_diffuse[..., None], contrib + weight * medium * local, contrib
+    )
+    stats = dict(traversed=wf["traversed"], tested=wf["tested"])
+    if not emit_children:
+        return pixel, contrib, None, stats
+
+    is_mirror = wf["surf"] & (refl > 0.0)
+    fr = wf["fr"]
+    w1 = jnp.where(
+        is_mirror[..., None],
+        weight * medium * refl[..., None] * albedo,
+        weight * medium * albedo * fr[..., None],
+    )
+    children = dict(
+        emit1=wf["emit1"],
+        o1=point + wf["r_dir"] * EPS,
+        d1=wf["r_dir"],
+        w1=w1,
+        emit2=wf["emit2"],
+        o2=point + wf["t_dir"] * EPS,
+        d2=wf["t_dir"],
+        w2=weight * medium * albedo * (1.0 - fr)[..., None],
+        inside2=~inside,
+    )
+    return pixel, contrib, children, stats
+
+
 def _compact_children(children, pixel, cap: int):
     """Prefix-sum scatter of up to two children per ray into a fresh level
     buffer of capacity `cap`.  Returns (o, d, inside, weight, pixel, alive,
@@ -236,10 +318,16 @@ def render(
     pixel0 = jnp.arange(n, dtype=jnp.int32)
     alive0 = jnp.ones((n,), jnp.bool_)
     w0 = jnp.ones((n, 3), jnp.float32)
-    pix, contrib, children, stats0 = _shade_level(
-        scene, rays.o, rays.d, rays.inside, w0, pixel0, alive0,
-        emit_children=depth_limit >= 1, differentiable=differentiable,
-    )
+    if _use_kernel_level0(scene, differentiable):
+        pix, contrib, children, stats0 = _shade_level0_kernel(
+            scene, rays.o, rays.d, rays.inside, w0, pixel0,
+            emit_children=depth_limit >= 1,
+        )
+    else:
+        pix, contrib, children, stats0 = _shade_level(
+            scene, rays.o, rays.d, rays.inside, w0, pixel0, alive0,
+            emit_children=depth_limit >= 1, differentiable=differentiable,
+        )
     # level 0's pixel ids are the identity, so the film scatter is a plain
     # add (a [n,3] scatter-add costs ~10ms at 655k rows; the add is free)
     film = film + contrib
