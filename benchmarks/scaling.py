@@ -44,28 +44,33 @@ def run_pinned(args):
         print(line, flush=True)
         lines.append(line)
 
+    spare = 0 if args.no_spare else 1
     emit(dict(
-        meta="scaling harness r4 (pinned)",
+        meta="scaling harness r5 (pinned + spare runtime core)",
         host_cpus=ncores,
         note=(
-            "each device count runs in a subprocess pinned to n_dev cores "
-            "(one core per virtual device); efficiency vs the 1-device/"
-            "1-core baseline attributes remaining loss to the sharded "
-            "program itself"
+            "each device count runs in a subprocess pinned to n_dev + 1 "
+            "cores: one core per virtual device plus ONE SPARE for the XLA "
+            "CPU client's runtime/dispatch threads.  Without the spare the "
+            "1-device baseline starves the runtime on its single core and "
+            "reads slow — r5 measured efficiency 1.20 at 2 AND 4 devices "
+            "with tight spreads, i.e. a baseline artifact, not sharding "
+            "overhead (same failure mode as r4's 1.18)"
         ),
     ))
     results = {}
     failures = []
     for n_dev in [int(x) for x in args.devices.split(",")]:
-        if n_dev > ncores:
-            emit(dict(devices=n_dev, skipped=f"needs {n_dev} cores, host has {ncores}"))
+        if n_dev + spare > ncores:
+            emit(dict(devices=n_dev,
+                      skipped=f"needs {n_dev + spare} cores, host has {ncores}"))
             continue
         env = dict(os.environ)
         env["XLA_FLAGS"] = (
             env.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n_dev}"
         ).strip()
         cmd = [
-            "taskset", "-c", ",".join(str(c) for c in range(n_dev)),
+            "taskset", "-c", ",".join(str(c) for c in range(n_dev + spare)),
             sys.executable, os.path.abspath(__file__),
             "--single", str(n_dev), "--cpu",
             "--width", str(args.width), "--height", str(args.height),
@@ -125,6 +130,8 @@ def main():
         "program's, not oversubscription"))
     ap.add_argument("--single", type=int, default=0,
                     help="internal: measure ONE device count in this process")
+    ap.add_argument("--no-spare", action="store_true",
+                    help="pinned mode: do NOT reserve the extra runtime core")
     args = ap.parse_args()
 
     if args.pin:

@@ -343,10 +343,11 @@ def _run(
     )(params, *node_tables, *comps, tri_rows, shade_rows)
 
 
-def trace_level0(scene, o, d, inside, interpret: bool = False):
-    """Run the fused Whitted level 0 on rays (o, d) [R, 3] with per-ray
-    `inside` [R] bool.  Returns a dict of [R] arrays in input order (see
-    module docstring)."""
+def trace_level0(scene, o, d, inside, interpret: bool = False, alive=None):
+    """Run one fused Whitted level on rays (o, d) [R, 3] with per-ray
+    `inside` [R] bool and optional `alive` [R] bool (None = all live —
+    level 0).  Returns a dict of [R] arrays in input order (see module
+    docstring)."""
     pk = scene.packed
     assert pk.node_aabb is not None, "whitted kernel needs SMEM node tables"
     r = o.shape[0]
@@ -357,7 +358,10 @@ def trace_level0(scene, o, d, inside, interpret: bool = False):
     def pad1(x, fill):
         return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
 
-    iflags = jnp.ones((r,), jnp.int32)
+    if alive is None:
+        iflags = jnp.ones((r,), jnp.int32)
+    else:
+        iflags = alive.astype(jnp.int32)
     if inside is not None:
         iflags = iflags | (inside.astype(jnp.int32) << 1)
     comps = (

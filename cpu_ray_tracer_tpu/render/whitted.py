@@ -138,12 +138,13 @@ def _use_kernel_level0(scene, differentiable: bool) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _shade_level0_kernel(scene: DeviceScene, o, d, inside, weight, pixel,
-                         emit_children: bool):
-    """Level 0 through the fused kernel: ONE Pallas launch runs the primary
-    traverse, hit-info interpolation and the point-light SHADOW walk; this
-    epilogue is pure vector math plus two chunk-skipped gathers (texel
-    factor, sky).  Same contract as _shade_level."""
+def _shade_level_kernel(scene: DeviceScene, o, d, inside, weight, pixel,
+                        emit_children: bool, alive=None):
+    """One Whitted level through the fused kernel: ONE Pallas launch runs
+    the traverse, hit-info interpolation and the point-light SHADOW walk;
+    this epilogue is pure vector math plus two chunk-skipped gathers (texel
+    factor, sky).  Same contract as _shade_level; `alive=None` = level 0
+    (all rays live), else the compacted child buffer's live mask."""
     from cpu_ray_tracer_tpu.ops.pallas import whitted_wf
     from cpu_ray_tracer_tpu.render.pathtracer import (
         _chunked_contrib, _pick_chunks, _tex_rgb,
@@ -151,7 +152,9 @@ def _shade_level0_kernel(scene: DeviceScene, o, d, inside, weight, pixel,
 
     n = o.shape[0]
     interpret = jax.default_backend() != "tpu"
-    wf = whitted_wf.trace_level0(scene, o, d, inside, interpret=interpret)
+    wf = whitted_wf.trace_level0(
+        scene, o, d, inside, interpret=interpret, alive=alive
+    )
     t = wf["t"]
     point = o + t[..., None] * d
     mf = query.material_fields(scene, wf["mat"])
@@ -318,8 +321,9 @@ def render(
     pixel0 = jnp.arange(n, dtype=jnp.int32)
     alive0 = jnp.ones((n,), jnp.bool_)
     w0 = jnp.ones((n, 3), jnp.float32)
-    if _use_kernel_level0(scene, differentiable):
-        pix, contrib, children, stats0 = _shade_level0_kernel(
+    use_kernel = _use_kernel_level0(scene, differentiable)
+    if use_kernel:
+        pix, contrib, children, stats0 = _shade_level_kernel(
             scene, rays.o, rays.d, rays.inside, w0, pixel0,
             emit_children=depth_limit >= 1,
         )
@@ -344,10 +348,18 @@ def render(
             when no children were emitted — in mostly-diffuse scenes the
             primary level emits none and the frame costs one level."""
             film, dropped, o, d, inside, w, pixv, alive = carry
-            pix, contrib, children, _ = _shade_level(
-                scene, o, d, inside, w, pixv, alive, emit_children=emit,
-                differentiable=differentiable,
-            )
+            if use_kernel:
+                # in-kernel alive masking already zeroes dead lanes' flags;
+                # the shared `contrib = where(alive, ...)` below re-masks
+                pix, contrib, children, _ = _shade_level_kernel(
+                    scene, o, d, inside, w, pixv, emit_children=emit,
+                    alive=alive,
+                )
+            else:
+                pix, contrib, children, _ = _shade_level(
+                    scene, o, d, inside, w, pixv, alive, emit_children=emit,
+                    differentiable=differentiable,
+                )
             # flat rank-1 scatter-add: the multi-lane [n, 3] add at
             # colliding pixel ids measured 42 ms per level at n=921600;
             # the 1-D 3n-index form runs on the fast scatter path
