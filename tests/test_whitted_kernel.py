@@ -19,10 +19,15 @@ REF_SCENES = "/root/reference/assets/scenes"
 CASES = [
     (os.path.join(REPO, "assets", "scenes", "cube_scene.xml"), "mono"),
     (os.path.join(REF_SCENES, "different_size_scene.xml"), "tlas"),
+    # bunny_teapot's teapot is a dielectric (refractivity 0.9): covers the
+    # emit2/Fresnel/inside-flip/absorption branches
+    (os.path.join(REPO, "assets", "scenes", "bunny_teapot.xml"), "tlas"),
 ]
 
 
-@pytest.mark.parametrize("xml,layout", CASES, ids=["cube-mono", "mirror-tlas"])
+@pytest.mark.parametrize(
+    "xml,layout", CASES, ids=["cube-mono", "mirror-tlas", "dielectric-tlas"]
+)
 def test_kernel_level0_matches_host(xml, layout, monkeypatch):
     scene, _ = compile_scene(xml, layout=layout, use_pallas=True)
     # irregular camera: Whitted primary rays are unjittered, and an
