@@ -114,15 +114,18 @@ def _inverse_perm(perm):
 
 def _permute_state_diff(state: dict, perm) -> dict:
     """Differentiable-mode permutation: float fields ride one [R, 9] pack
-    through the custom-vjp gather (_apply_perm); integer/flag fields ride a
-    separate int32 [R, 6] gather, which autodiff ignores entirely (integer
-    arrays carry no tangents) — no bitcast ever meets a differentiated
-    value."""
+    (plus the 2 tap lerp weights when deferred tap records are present —
+    they carry uv tangents) through the custom-vjp gather (_apply_perm);
+    integer/flag fields ride a separate int32 gather, which autodiff
+    ignores entirely (integer arrays carry no tangents) — no bitcast ever
+    meets a differentiated value."""
     bc = jax.lax.bitcast_convert_type
+    has_taps = "tap_i0" in state
     inv = _inverse_perm(perm)
-    fl = jnp.concatenate(
-        [state["o"], state["d"], state["throughput"]], axis=1
-    )
+    fcols = [state["o"], state["d"], state["throughput"]]
+    if has_taps:
+        fcols += [state["tap_tx"][..., None], state["tap_ty"][..., None]]
+    fl = jnp.concatenate(fcols, axis=1)
     fl = _apply_perm(fl, perm, inv)
     flags = (
         state["inside"].astype(jnp.int32)
@@ -130,19 +133,19 @@ def _permute_state_diff(state: dict, perm) -> dict:
         + 4 * state["missed"].astype(jnp.int32)
         + 8 * state["lit"].astype(jnp.int32)
     )
-    ints = jnp.stack(
-        [
-            bc(state["seed"], jnp.int32),
-            flags,
-            state["traversed"],
-            state["tested"],
-            state["pixel"],
-            state["locus"],
-        ],
-        axis=1,
-    )[perm]
+    icols = [
+        bc(state["seed"], jnp.int32),
+        flags,
+        state["traversed"],
+        state["tested"],
+        state["pixel"],
+        state["locus"],
+    ]
+    if has_taps:
+        icols += [state[k] for k in _TAP_KEYS[:4]]
+    ints = jnp.stack(icols, axis=1)[perm]
     pflags = ints[:, 1]
-    return dict(
+    out = dict(
         o=fl[:, 0:3],
         d=fl[:, 3:6],
         throughput=fl[:, 6:9],
@@ -156,6 +159,12 @@ def _permute_state_diff(state: dict, perm) -> dict:
         pixel=ints[:, 4],
         locus=ints[:, 5],
     )
+    if has_taps:
+        out["tap_tx"] = fl[:, 9]
+        out["tap_ty"] = fl[:, 10]
+        for j, k in enumerate(_TAP_KEYS[:4]):
+            out[k] = ints[:, 6 + j]
+    return out
 
 
 def _permute_state(state: dict, perm) -> dict:
@@ -168,10 +177,15 @@ def _permute_state(state: dict, perm) -> dict:
     for R=921600), which is why the bool flags share one bit-packed lane
     and the miss/lit records are single bits (see _RAY_KEYS note).
 
+    Deferred bilinear tap records (_TAP_KEYS, the r5 d1-tap deferral —
+    see sample_radiance) ride the same packed gather as 6 extra lanes
+    when present: 21 total, still under the cliff.
+
     `perm` is either gather indices (sources), or ("scatter", pos) with
     DESTINATION indices (the counting-sort path computes the inverse
     permutation directly — applying it as a scatter skips the argsort)."""
     bc = jax.lax.bitcast_convert_type
+    has_taps = "tap_i0" in state
     flags = (
         state["inside"].astype(jnp.int32)
         + 2 * state["alive"].astype(jnp.int32)
@@ -189,13 +203,17 @@ def _permute_state(state: dict, perm) -> dict:
         bc(state["pixel"], jnp.float32)[..., None],  # 13
         bc(state["locus"], jnp.float32)[..., None],  # 14
     ]
+    if has_taps:
+        cols += [
+            bc(state[k], jnp.float32)[..., None] for k in _TAP_KEYS[:4]
+        ] + [state[k][..., None] for k in _TAP_KEYS[4:]]  # 15:19 ids, 19:21 w
     stacked = jnp.concatenate(cols, axis=1)
     if isinstance(perm, tuple) and perm[0] == "scatter":
         packed = jnp.zeros_like(stacked).at[perm[1]].set(stacked, unique_indices=True)
     else:
         packed = stacked[perm]
     pflags = bc(packed[:, 10], jnp.int32)
-    return dict(
+    out = dict(
         o=packed[:, 0:3],
         d=packed[:, 3:6],
         throughput=packed[:, 6:9],
@@ -209,6 +227,12 @@ def _permute_state(state: dict, perm) -> dict:
         pixel=bc(packed[:, 13], jnp.int32),
         locus=bc(packed[:, 14], jnp.int32),
     )
+    if has_taps:
+        for j, k in enumerate(_TAP_KEYS[:4]):
+            out[k] = bc(packed[:, 15 + j], jnp.int32)
+        out["tap_tx"] = packed[:, 19]
+        out["tap_ty"] = packed[:, 20]
+    return out
 
 
 def _compaction_perm(scene: DeviceScene, o, d, alive, locus=None, allow_scatter=True):
@@ -950,11 +974,19 @@ def _sort_state(scene, st, diff=False):
 
 
 def _make_depth_body(scene, bounce, chunk, diff=False, texels_flat=None,
-                     sort=True):
+                     sort=True, apply_taps=True):
     """`texels_flat` non-None = deferred-tap bilinear diff mode: the bounce
     emits tap records through the chunk scan (stacked outputs — small), and
     the texture factor multiplies throughput here at depth width, outside
     the scan, so the scan transpose never accumulates atlas cotangents.
+
+    `apply_taps=False` (the r5 d1-tap deferral) leaves the records IN the
+    returned state instead: they ride the next compaction sort as 6 extra
+    permute lanes and the cascade applies the factor on the compacted tier
+    HEAD — tap-carrying lanes are exactly the lanes alive at the next
+    depth, so the factor's backward (the atlas cotangent scatter) runs at
+    tier width instead of full width (the full-width d1 apply's scatter
+    was the largest single piece of the bilinear fwd+bwd step).
 
     `sort=False` skips the per-depth compaction resort: a cascade tier's
     entry sort already compacted+ordered the state, so the FIRST depth
@@ -1006,11 +1038,14 @@ def _make_depth_body(scene, bounce, chunk, diff=False, texels_flat=None,
         state = {
             k: chunked[k].reshape(w, *chunked[k].shape[2:]) for k in _RAY_KEYS
         }
-        if defer_tex:
+        if defer_tex and apply_taps:
             state["throughput"] = _apply_tap_factor(
                 state["throughput"], texels_flat,
                 *(chunked[k].reshape(w) for k in _TAP_KEYS),
             )
+        elif defer_tex:
+            for k in _TAP_KEYS:
+                state[k] = chunked[k].reshape(w)
         return (state, rays_traced), None
 
     return depth_body
@@ -1018,7 +1053,7 @@ def _make_depth_body(scene, bounce, chunk, diff=False, texels_flat=None,
 
 def _cascade(scene, state, rays_traced, deep, chunk, depth_body, r,
              diff=False, tiers=None, fused_depth_limit=None,
-             depth_body_first=None):
+             depth_body_first=None, texels_flat=None):
     """Liveness cascade over the `deep` depth indices.
 
     Deeper bounces usually have FEW survivors — measured on the bench
@@ -1046,8 +1081,24 @@ def _cascade(scene, state, rays_traced, deep, chunk, depth_body, r,
     inside a tier (the tier's entry sort already ordered the head — see
     _make_depth_body sort=False)."""
 
+    has_taps = "tap_i0" in state
+
+    def apply_deferred(st):
+        """Apply the deferred d1 tap factor (r5 d1-tap deferral) and drop
+        the record lanes.  Called on the sorted tier HEAD where possible:
+        every tap-carrying lane is alive at the next depth, so the entry
+        sort compacted them all into the head."""
+        st = dict(st)
+        st["throughput"] = _apply_tap_factor(
+            st["throughput"], texels_flat, *(st.pop(k) for k in _TAP_KEYS)
+        )
+        return st
+
     def deep_full(carry):
-        (st, rt), _ = jax.lax.scan(depth_body, carry, jnp.asarray(deep))
+        st, rt = carry
+        if has_taps:
+            st = apply_deferred(st)  # no entry sort here: full width
+        (st, rt), _ = jax.lax.scan(depth_body, (st, rt), jnp.asarray(deep))
         return st, rt
 
     first_body = depth_body_first if depth_body_first is not None else depth_body
@@ -1058,8 +1109,10 @@ def _cascade(scene, state, rays_traced, deep, chunk, depth_body, r,
         def tier(carry):
             st, rt = carry
             st = _sort_state(scene, st, diff)  # compact live rays into the prefix
-            head = {k: st[k][:width] for k in _RAY_KEYS}
+            head = {k: st[k][:width] for k in st}
             tail = {k: st[k][width:] for k in _RAY_KEYS}
+            if has_taps:
+                head = apply_deferred(head)
             if fused_depth_limit is not None:
                 if _os.environ.get("CRT_FUSED_TAIL", "auto") == "1":
                     # single launch for ALL deep depths: measured +14 ms at
@@ -1247,12 +1300,32 @@ def sample_radiance(
         scene, bounce, chunk, diff=differentiable, texels_flat=texels_flat
     )
 
+    # r5 d1-tap deferral: depth 1's tap records ride the cascade's entry
+    # sort (6 extra permute lanes) and the factor applies on the compacted
+    # tier HEAD — the full-width d1 _apply_tap_factor's backward (an
+    # 11M-id atlas scatter) was the largest single piece of the bilinear
+    # fwd+bwd step.  Exact: tap-carrying lanes are precisely the lanes
+    # alive at depth 2, which the sort compacts into the head.
+    d1_defer = (
+        defer_tex
+        and depth_limit >= 2
+        and _os.environ.get("CRT_D1_TAP_DEFER", "1") != "0"
+    )
+
     # Depth 1 runs at full width (typically >50% of paths survive the
     # primary hit); depths >= 2 go through the liveness cascade (see
     # _cascade).
     if depth_limit >= 1:
-        (state, rays_traced), _ = jax.lax.scan(
-            depth_body, (state, rays_traced), jnp.arange(1, 2)
+        body_d1 = (
+            _make_depth_body(
+                scene, bounce, chunk, diff=differentiable,
+                texels_flat=texels_flat, apply_taps=False,
+            )
+            if d1_defer
+            else depth_body
+        )
+        (state, rays_traced), _ = body_d1(
+            (state, rays_traced), jnp.int32(1)
         )
     if depth_limit >= 2:
         state, rays_traced = _cascade(
@@ -1262,6 +1335,7 @@ def sample_radiance(
                 scene, bounce, chunk, diff=differentiable,
                 texels_flat=texels_flat, sort=False,
             ),
+            texels_flat=texels_flat,
         )
 
     # terminated rays' d and throughput are frozen at termination time (dead
