@@ -172,13 +172,19 @@ def profile(name, xml, camkw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", default="bunny,inside")
+    ap.add_argument("--out", default="", help="also append JSONL rows here")
     args = ap.parse_args()
+    recs = []
     for name in args.scenes.split(","):
         xml, camkw = SCENES[name]
         if not os.path.isfile(xml):
             print(json.dumps({"scene": name, "skipped": "xml missing"}), flush=True)
             continue
-        profile(name, xml, camkw)
+        recs.append(profile(name, xml, camkw))
+    if args.out:
+        with open(args.out, "w") as f:
+            for rec in recs:
+                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
