@@ -250,6 +250,22 @@ class TestBilinearDiffCompaction:
                 err_msg=k,
             )
 
+    def test_d1_tap_deferral_matches_fullwidth_apply(self, setup4k, monkeypatch):
+        """r5 d1-tap deferral (records ride the depth-2 compaction sort,
+        factor applies on the tier head) vs the full-width depth-1 apply:
+        same loss, same gradients including the texels leaf."""
+        scene, cam = setup4k
+        monkeypatch.setenv("CRT_D1_TAP_DEFER", "0")
+        l0, g0 = self._grads(scene, cam, 4)
+        monkeypatch.setenv("CRT_D1_TAP_DEFER", "1")
+        l1, g1 = self._grads(scene, cam, 4)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for k in g0:
+            np.testing.assert_allclose(
+                np.asarray(g0[k]), np.asarray(g1[k]), rtol=1e-4, atol=1e-7,
+                err_msg=k,
+            )
+
     def test_deferred_tap_matches_inline_forward(self, setup4k):
         # differentiable=False renders with the INLINE bilinear tap; the
         # deferred-factor estimator must produce the same radiance
