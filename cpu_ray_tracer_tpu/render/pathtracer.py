@@ -838,10 +838,21 @@ def _tap_pairs(texels_flat, ileft, iright):
 
 
 def _tap_quad(texels_flat, i0, i1, i2, i3):
-    """All four bilinear taps via two pair fetches: [4][3] of [W]."""
-    t0, t1 = _tap_pairs(texels_flat, i0, i1)
-    t2, t3 = _tap_pairs(texels_flat, i2, i3)
-    return [t0, t1, t2, t3]
+    """All four bilinear taps: [4][3] of [W].
+
+    Default: four per-tap ROW gathers (`_tap_rows`).  The 6-wide
+    adjacent-PAIR slice gather (`_tap_pairs`, CRT_TAP_PAIRS=1) halves the
+    index count but measured 7x SLOWER end-to-end at the r5 bench shape
+    (bilinear fwd+bwd step 0.81 s -> 5.6 s, bisected to this commit's
+    introduction): XLA lowers the wide-slice gather + re-select pair far
+    worse than the plain row gathers it replaced."""
+    if _os.environ.get("CRT_TAP_PAIRS", "0") == "1":
+        t0, t1 = _tap_pairs(texels_flat, i0, i1)
+        t2, t3 = _tap_pairs(texels_flat, i2, i3)
+        return [t0, t1, t2, t3]
+    return [
+        _tap_rows(texels_flat, jnp.maximum(i, 0)) for i in (i0, i1, i2, i3)
+    ]
 
 
 def _tap_channels(texels_flat, i0, i1, i2, i3, tx, ty):
